@@ -1,0 +1,244 @@
+"""Frozen dataclass configuration tree.
+
+Replaces the reference's three-tier yacs config (vlnce_baselines/config/default.py,
+habitat_extensions/config/default.py, bash flag blocks) with a single immutable
+tree. Key values mirror bert_config/{bert-base-uncased,xlm-roberta-base}/config.json
+and vlnce_baselines/models/etp/vlnbert_init.py:38-59 in the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class PlannerConfig:
+    """Cross-modal topological planner (text + pano + graph encoders).
+
+    Mirrors the reference model hyperparameters assembled in
+    vlnbert_init.py:41-59 on top of the HF BERT/XLM-R config.
+    """
+
+    # language backbone (bert-base-uncased defaults)
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    lang_layer_norm_eps: float = 1e-12   # xlm-roberta uses 1e-5
+    hidden_dropout: float = 0.1
+    attn_dropout: float = 0.1
+    pad_token_id: int = 0                # xlm-roberta uses 1
+
+    # vision / fusion parts always use eps 1e-12 in the reference
+    # (hardcoded in ImageEmbeddings & friends, vilmodel_cmt.py:459-478)
+    vis_layer_norm_eps: float = 1e-12
+
+    # stack depths (vlnbert_init.py:47-49)
+    num_l_layers: int = 9
+    num_pano_layers: int = 2
+    num_x_layers: int = 4
+
+    # feature sizes (vlnbert_init.py:41-45)
+    image_feat_size: int = 512
+    depth_feat_size: int = 128
+    angle_feat_size: int = 4
+    max_action_steps: int = 100
+    use_depth_embedding: bool = True
+    graph_sprels: bool = True
+
+    # static shape buckets (TPU: fixed shapes, masked padding)
+    max_txt_len: int = 80        # r2r 80, rxr 200 (IL.max_text_len)
+    max_vp_len: int = 20         # [stop] + cand(<=5 after NMS) + 12 views
+    max_gmap_len: int = 64       # [stop] + nodes + ghosts, bucketed
+
+    # compute dtype for the transformer stacks
+    use_bf16: bool = True
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class WaypointConfig:
+    """Waypoint predictor TRM (reference: waypoint_pred/TRM_net.py:9-60)."""
+
+    hidden_size: int = 768
+    num_heads: int = 12
+    num_layers: int = 2          # TRM_LAYER
+    num_angles: int = 120
+    num_images: int = 12
+    num_distances: int = 12      # n_classes
+    neighbor: int = 1            # TRM_NEIGHBOR circular attention window
+    heatmap_offset: int = 5      # HEATMAP_OFFSET rotation
+    hidden_dropout: float = 0.3
+    attn_dropout: float = 0.1
+    layer_norm_eps: float = 1e-12
+    depth_feat_shape: Tuple[int, int, int] = (128, 4, 4)
+    max_predictions: int = 5     # NMS slots (Policy_ViewSelection_ETP.py:235)
+    nms_sigma: Tuple[float, float] = (7.0, 5.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class ClipConfig:
+    """CLIP ViT-B/32 image tower (reference loads via clip.load('ViT-B/32'))."""
+
+    image_size: int = 224
+    patch_size: int = 32
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    output_dim: int = 512
+    layer_norm_eps: float = 1e-5
+
+
+@dataclasses.dataclass(frozen=True)
+class DepthEncoderConfig:
+    """DD-PPO ResNet-50 depth encoder (habitat-style GroupNorm ResNet).
+
+    Reference: models/encoders/resnet_encoders.py:13-50 wrapping
+    habitat_baselines ResNetEncoder(baseplanes=32, ngroups=16, resnet50).
+    Output (B, 4, 4, 128) for 128x128 depth input after the compression conv.
+    """
+
+    input_size: int = 128
+    baseplanes: int = 32
+    ngroups: int = 16
+    layers: Tuple[int, int, int, int] = (3, 4, 6, 3)
+    expansion: int = 4
+    output_size: int = 2048     # flattened target: channels * spatial^2
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphConfig:
+    """Topological map constants (reference: models/graph_utils.py:9-10)."""
+
+    max_dist: float = 30.0
+    max_step: float = 10.0
+    loc_noise: float = 0.5       # IL.loc_noise merge radius
+    merge_ghost: bool = True
+    ghost_aug: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ILConfig:
+    """Schedule-sampling IL fine-tune knobs (run_r2r/iter_train.yaml)."""
+
+    iters: int = 15000
+    log_every: int = 200
+    lr: float = 1e-5
+    batch_size: int = 8          # envs per device
+    max_traj_len: int = 20       # max planner steps per episode
+    ml_weight: float = 1.0
+    sample_ratio: float = 0.75
+    decay_interval: int = 3000
+    expert_policy: str = "spl"   # or 'ndtw'
+    waypoint_aug: bool = True
+    ghost_aug: float = 0.0
+    loc_noise: float = 0.5
+    back_algo: str = "teleport"  # or 'control'
+    tryout: bool = True
+    max_text_len: int = 80
+    success_distance: float = 3.0
+    stop_distance: float = 1.5   # teacher stop trigger (ss_trainer_ETP.py:283)
+
+
+@dataclasses.dataclass(frozen=True)
+class PretrainConfig:
+    """MLM+SAP pretraining (pretrain_src/run_pt/r2r_pretrain_habitat.json)."""
+
+    num_train_steps: int = 100_000
+    warmup_steps: int = 10_000
+    learning_rate: float = 5e-5
+    batch_size: int = 32
+    grad_norm: float = 5.0
+    weight_decay: float = 0.01
+    mlm_prob: float = 0.15
+    task_ratios: Tuple[float, float] = (1.0, 1.0)   # mlm, sap
+    log_steps: int = 1000
+    valid_steps: int = 5000
+    # trajectory shape buckets
+    max_traj_steps: int = 8
+    views_per_step: int = 12
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout. dp = data parallel, mp = model (tensor) parallel."""
+
+    dp: int = -1                 # -1: use all remaining devices
+    mp: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    task_type: str = "r2r"       # or 'rxr'
+    planner: PlannerConfig = PlannerConfig()
+    waypoint: WaypointConfig = WaypointConfig()
+    clip: ClipConfig = ClipConfig()
+    depth: DepthEncoderConfig = DepthEncoderConfig()
+    graph: GraphConfig = GraphConfig()
+    il: ILConfig = ILConfig()
+    pretrain: PretrainConfig = PretrainConfig()
+    mesh: MeshConfig = MeshConfig()
+    seed: int = 0
+
+
+def r2r_config(**overrides) -> ExperimentConfig:
+    """R2R-CE: bert-base-uncased text encoder (run_r2r/iter_train.yaml)."""
+    return dataclasses.replace(ExperimentConfig(task_type="r2r"), **overrides)
+
+
+def rxr_config(**overrides) -> ExperimentConfig:
+    """RxR-CE: xlm-roberta-base text encoder, longer instructions
+    (run_rxr/iter_train.yaml; vlnbert_init.py:34-39 sets type_vocab_size=2)."""
+    planner = PlannerConfig(
+        vocab_size=250002,
+        lang_layer_norm_eps=1e-5,
+        pad_token_id=1,
+        type_vocab_size=2,
+        max_txt_len=200,
+    )
+    il = ILConfig(
+        iters=20000, lr=1.5e-5, expert_policy="ndtw", max_text_len=200
+    )
+    cfg = ExperimentConfig(task_type="rxr", planner=planner, il=il)
+    return dataclasses.replace(cfg, **overrides)
+
+
+def tiny_config(**overrides) -> ExperimentConfig:
+    """Small config for tests / CI: same topology, tiny dims."""
+    planner = PlannerConfig(
+        vocab_size=512,
+        hidden_size=64,
+        num_heads=4,
+        intermediate_size=128,
+        max_position_embeddings=64,
+        num_l_layers=2,
+        num_pano_layers=1,
+        num_x_layers=2,
+        image_feat_size=32,
+        depth_feat_size=16,
+        max_txt_len=16,
+        max_vp_len=18,
+        max_gmap_len=16,
+        use_bf16=False,
+    )
+    waypoint = WaypointConfig(hidden_size=64, num_heads=4, num_layers=1,
+                              depth_feat_shape=(16, 2, 2))
+    clip = ClipConfig(image_size=32, patch_size=16, width=64, layers=2,
+                      heads=4, output_dim=32)
+    depth = DepthEncoderConfig(input_size=32, baseplanes=8, ngroups=4,
+                               layers=(1, 1, 1, 1), output_size=16)
+    il = ILConfig(iters=2, log_every=1, batch_size=2, max_traj_len=4,
+                  max_text_len=16)
+    pretrain = PretrainConfig(num_train_steps=4, warmup_steps=2, batch_size=2,
+                              max_traj_steps=3, views_per_step=12)
+    cfg = ExperimentConfig(
+        task_type="r2r", planner=planner, waypoint=waypoint, clip=clip,
+        depth=depth, il=il, pretrain=pretrain,
+    )
+    return dataclasses.replace(cfg, **overrides)

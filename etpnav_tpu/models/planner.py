@@ -1,0 +1,308 @@
+"""Cross-modal topological planner (TPU-native GlocalTextPathNavCMT).
+
+Functional parity target: models/etp/vilmodel_cmt.py:663-750 —
+- forward_txt       (:684): BERT embeddings + 9-layer language encoder
+- forward_panorama  (:690): RGB/depth/angle fusion + 2-layer pre-norm pano
+                            encoder
+- forward_navigation(:721): graph node embedding + 4 graph-aware cross-modal
+                            layers with spatial-relation attention bias +
+                            SAP head producing per-node action logits
+
+All inputs are fixed-shape padded arrays with boolean masks (TPU static
+shapes); ragged assembly happens host-side in etpnav_tpu.graph.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from etpnav_tpu.config import PlannerConfig
+from etpnav_tpu.models.bert_core import (
+    BertDims,
+    bert_embeddings,
+    bert_embeddings_init,
+    bert_stack,
+    bert_stack_init,
+    bert_ffn,
+    bert_ffn_init,
+    prenorm_stack,
+    prenorm_stack_init,
+)
+from etpnav_tpu.ops.attention import (
+    cross_attention_block,
+    self_attention_block,
+    self_attention_block_init,
+)
+from etpnav_tpu.ops.basic import (
+    NEG_INF,
+    layer_norm,
+    linear,
+    linear_init,
+    ln_init,
+    mask_to_bias,
+    maybe_dropout,
+    trunc_normal,
+)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init_planner_params(key: jax.Array, cfg: PlannerConfig) -> dict:
+    keys = jax.random.split(key, 12)
+    params = {
+        "embeddings": bert_embeddings_init(
+            keys[0], cfg.vocab_size, cfg.hidden_size,
+            cfg.max_position_embeddings, cfg.type_vocab_size),
+        "lang_encoder": bert_stack_init(
+            keys[1], cfg.num_l_layers, cfg.hidden_size,
+            cfg.intermediate_size),
+        "img_embeddings": {
+            "img_linear": linear_init(keys[2], cfg.image_feat_size,
+                                      cfg.hidden_size),
+            "img_ln": ln_init(cfg.hidden_size),
+            "loc_linear": linear_init(keys[3], cfg.angle_feat_size,
+                                      cfg.hidden_size),
+            "loc_ln": ln_init(cfg.hidden_size),
+            "nav_type_embedding": trunc_normal(
+                keys[4], (2, cfg.hidden_size)),
+            "ln": ln_init(cfg.hidden_size),
+            "pano_encoder": prenorm_stack_init(
+                keys[5], cfg.num_pano_layers, cfg.hidden_size,
+                cfg.intermediate_size),
+        },
+        "global_encoder": {
+            "gmap_pos_embeddings": {
+                "dense": linear_init(keys[6], cfg.angle_feat_size + 3,
+                                     cfg.hidden_size),
+                "ln": ln_init(cfg.hidden_size),
+            },
+            "gmap_step_embeddings": trunc_normal(
+                keys[7], (cfg.max_action_steps, cfg.hidden_size)),
+            "encoder": _x_stack_init(keys[8], cfg),
+        },
+        "global_sap_head": _sap_head_init(keys[9], cfg.hidden_size),
+    }
+    if cfg.use_depth_embedding:
+        params["img_embeddings"]["dep_linear"] = linear_init(
+            keys[10], cfg.depth_feat_size, cfg.hidden_size)
+        params["img_embeddings"]["dep_ln"] = ln_init(cfg.hidden_size)
+    if cfg.graph_sprels:
+        params["global_encoder"]["sprel_linear"] = linear_init(
+            keys[11], 1, 1)
+    return params
+
+
+def _x_layer_init(key: jax.Array, cfg: PlannerConfig) -> dict:
+    """GraphLXRTXLayer params (vilmodel_cmt.py:365-398):
+    cross-attn + visn self-attn + FFN."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "visual_attention": self_attention_block_init(k1, cfg.hidden_size),
+        "visn_self_att": self_attention_block_init(k2, cfg.hidden_size),
+        "visn_ffn": bert_ffn_init(k3, cfg.hidden_size,
+                                  cfg.intermediate_size),
+    }
+
+
+def _x_stack_init(key: jax.Array, cfg: PlannerConfig) -> dict:
+    keys = jax.random.split(key, cfg.num_x_layers)
+    layers = [_x_layer_init(k, cfg) for k in keys]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def _sap_head_init(key: jax.Array, hidden: int) -> dict:
+    """NextActionPrediction (vilmodel_cmt.py:651-661):
+    Linear, ReLU, LN(1e-12), Dropout(0.1), Linear(h,1)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "dense1": linear_init(k1, hidden, hidden),
+        "ln": ln_init(hidden),
+        "dense2": linear_init(k2, hidden, 1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward passes
+# ---------------------------------------------------------------------------
+
+def _lang_dims(cfg: PlannerConfig) -> BertDims:
+    return BertDims(cfg.hidden_size, cfg.num_heads, cfg.intermediate_size,
+                    cfg.lang_layer_norm_eps, cfg.hidden_dropout,
+                    cfg.attn_dropout)
+
+
+def _vis_dims(cfg: PlannerConfig) -> BertDims:
+    return BertDims(cfg.hidden_size, cfg.num_heads, cfg.intermediate_size,
+                    cfg.vis_layer_norm_eps, cfg.hidden_dropout,
+                    cfg.attn_dropout)
+
+
+def forward_txt(params: dict, cfg: PlannerConfig, txt_ids: jax.Array,
+                txt_masks: jax.Array, *, rng: Optional[jax.Array] = None,
+                train: bool = False) -> jax.Array:
+    """(B, L) token ids + (B, L) bool mask -> (B, L, D) text memory."""
+    r1, r2 = _split(rng)
+    x = bert_embeddings(params["embeddings"], txt_ids,
+                        cfg.lang_layer_norm_eps,
+                        hidden_dropout=cfg.hidden_dropout, rng=r1,
+                        train=train)
+    bias = mask_to_bias(txt_masks)[:, None, None, :]
+    if cfg.use_bf16 and not train:
+        x = x.astype(jnp.bfloat16)
+    return bert_stack(params["lang_encoder"], x, bias, _lang_dims(cfg),
+                      rng=r2, train=train).astype(jnp.float32)
+
+
+def forward_panorama(params: dict, cfg: PlannerConfig, rgb_fts: jax.Array,
+                     dep_fts: jax.Array, loc_fts: jax.Array,
+                     nav_types: jax.Array, view_masks: jax.Array, *,
+                     rng: Optional[jax.Array] = None,
+                     train: bool = False):
+    """Panorama view fusion + 2-layer pre-norm encoder
+    (vilmodel_cmt.py:690-719).
+
+    rgb_fts (B,P,512), dep_fts (B,P,128), loc_fts (B,P,4),
+    nav_types (B,P) int {0,1}, view_masks (B,P) bool.
+    Returns pano_embeds (B,P,D), view_masks.
+    """
+    ie = params["img_embeddings"]
+    r1, r2 = _split(rng)
+
+    x = layer_norm(linear(ie["img_linear"], rgb_fts),
+                   ie["img_ln"]["scale"], ie["img_ln"]["bias"],
+                   cfg.vis_layer_norm_eps)
+    if cfg.use_depth_embedding:
+        x = x + layer_norm(linear(ie["dep_linear"], dep_fts),
+                           ie["dep_ln"]["scale"], ie["dep_ln"]["bias"],
+                           cfg.vis_layer_norm_eps)
+    x = x + layer_norm(linear(ie["loc_linear"], loc_fts),
+                       ie["loc_ln"]["scale"], ie["loc_ln"]["bias"],
+                       cfg.vis_layer_norm_eps)
+    x = x + ie["nav_type_embedding"][nav_types]
+    # + token_type_embeddings(1) from the text embedding table
+    x = x + params["embeddings"]["token_type_embeddings"][1][None, None, :]
+    x = layer_norm(x, ie["ln"]["scale"], ie["ln"]["bias"],
+                   cfg.vis_layer_norm_eps)
+    x = maybe_dropout(x, cfg.hidden_dropout, r1, train)
+
+    bias = mask_to_bias(view_masks)[:, None, None, :]
+    # torch MultiheadAttention LayerNorms inside the pre-norm layer use 1e-5
+    pano_dims = BertDims(cfg.hidden_size, cfg.num_heads,
+                         cfg.intermediate_size, 1e-5, cfg.hidden_dropout,
+                         cfg.attn_dropout)
+    if cfg.use_bf16 and not train:
+        x = x.astype(jnp.bfloat16)
+    x = prenorm_stack(ie["pano_encoder"], x, bias, pano_dims,
+                      cfg.vis_layer_norm_eps, rng=r2, train=train)
+    return x.astype(jnp.float32), view_masks
+
+
+def _x_layer(layer_params: dict, cfg: PlannerConfig, visn: jax.Array,
+             txt: jax.Array, txt_bias: jax.Array, visn_bias: jax.Array, *,
+             rng: Optional[jax.Array] = None, train: bool = False
+             ) -> jax.Array:
+    """GraphLXRTXLayer.forward (vilmodel_cmt.py:383-398): cross-attn into
+    text, then self-attn with sprel-augmented bias, then FFN."""
+    r1, r2, r3 = _split3(rng)
+    dims = _vis_dims(cfg)
+    visn = cross_attention_block(
+        layer_params["visual_attention"], visn, txt, cfg.num_heads,
+        txt_bias, dims.eps, hidden_dropout=dims.hidden_dropout,
+        attn_dropout=dims.attn_dropout, rng=r1, train=train)
+    visn = self_attention_block(
+        layer_params["visn_self_att"], visn, cfg.num_heads, visn_bias,
+        dims.eps, hidden_dropout=dims.hidden_dropout,
+        attn_dropout=dims.attn_dropout, rng=r2, train=train)
+    return bert_ffn(layer_params["visn_ffn"], visn, dims.eps,
+                    hidden_dropout=dims.hidden_dropout, rng=r3, train=train)
+
+
+def _x_stack(params: dict, cfg: PlannerConfig, visn: jax.Array,
+             txt: jax.Array, txt_bias: jax.Array, visn_bias: jax.Array, *,
+             rng: Optional[jax.Array] = None, train: bool = False
+             ) -> jax.Array:
+    num_layers = cfg.num_x_layers
+    if rng is None:
+        def body(h, layer_params):
+            return _x_layer(layer_params, cfg, h, txt, txt_bias, visn_bias,
+                            train=train), None
+        visn, _ = jax.lax.scan(body, visn, params)
+    else:
+        rngs = jax.random.split(rng, num_layers)
+
+        def body(h, xs):
+            layer_params, layer_rng = xs
+            return _x_layer(layer_params, cfg, h, txt, txt_bias, visn_bias,
+                            rng=layer_rng, train=train), None
+        visn, _ = jax.lax.scan(body, visn, (params, rngs))
+    return visn
+
+
+def sap_head(params: dict, x: jax.Array, eps: float, *,
+             rng: Optional[jax.Array] = None, train: bool = False,
+             dropout: float = 0.1) -> jax.Array:
+    """NextActionPrediction -> (B, G) scalar logits."""
+    h = jax.nn.relu(linear(params["dense1"], x))
+    h = layer_norm(h, params["ln"]["scale"], params["ln"]["bias"], eps)
+    h = maybe_dropout(h, dropout, rng, train)
+    return linear(params["dense2"], h)[..., 0]
+
+
+def forward_navigation(params: dict, cfg: PlannerConfig,
+                       txt_embeds: jax.Array, txt_masks: jax.Array,
+                       gmap_img_fts: jax.Array, gmap_step_ids: jax.Array,
+                       gmap_pos_fts: jax.Array, gmap_masks: jax.Array,
+                       gmap_visited_masks: jax.Array,
+                       gmap_pair_dists: jax.Array, *,
+                       rng: Optional[jax.Array] = None,
+                       train: bool = False) -> dict:
+    """Global action scoring (vilmodel_cmt.py:721-750).
+
+    gmap_img_fts (B,G,D) pre-aggregated node features, gmap_step_ids (B,G)
+    int, gmap_pos_fts (B,G,7), masks (B,G) bool, pair_dists (B,G,G).
+    Returns {'gmap_embeds': (B,G,D), 'global_logits': (B,G)}.
+    """
+    ge = params["global_encoder"]
+    r1, r2 = _split(rng)
+
+    pos = layer_norm(linear(ge["gmap_pos_embeddings"]["dense"],
+                            gmap_pos_fts),
+                     ge["gmap_pos_embeddings"]["ln"]["scale"],
+                     ge["gmap_pos_embeddings"]["ln"]["bias"],
+                     cfg.vis_layer_norm_eps)
+    x = gmap_img_fts + ge["gmap_step_embeddings"][gmap_step_ids] + pos
+
+    txt_bias = mask_to_bias(txt_masks)[:, None, None, :]
+    visn_bias = mask_to_bias(gmap_masks)[:, None, None, :]
+    if cfg.graph_sprels:
+        sl = ge["sprel_linear"]
+        sprel = gmap_pair_dists[..., None] * sl["w"][0, 0] + sl["b"][0]
+        visn_bias = visn_bias + sprel[..., 0][:, None, :, :]
+
+    dtype = jnp.bfloat16 if (cfg.use_bf16 and not train) else x.dtype
+    gmap_embeds = _x_stack(ge["encoder"], cfg, x.astype(dtype),
+                           txt_embeds.astype(dtype), txt_bias, visn_bias,
+                           rng=r1, train=train).astype(jnp.float32)
+
+    logits = sap_head(params["global_sap_head"], gmap_embeds,
+                      cfg.vis_layer_norm_eps, rng=r2, train=train)
+    logits = jnp.where(gmap_visited_masks, -jnp.inf, logits)
+    logits = jnp.where(gmap_masks, logits, -jnp.inf)
+    return {"gmap_embeds": gmap_embeds, "global_logits": logits}
+
+
+def _split(rng):
+    if rng is None:
+        return None, None
+    return jax.random.split(rng)
+
+
+def _split3(rng):
+    if rng is None:
+        return None, None, None
+    return jax.random.split(rng, 3)

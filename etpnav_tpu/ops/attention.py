@@ -1,0 +1,135 @@
+"""Multi-head attention with additive bias, in BERT (post-norm) block form.
+
+This one primitive backs every attention in the framework:
+- language self-attention (vilmodel_cmt.py:79-141)
+- pano pre-norm self-attention (common/transformer.py:133-190)
+- cross-modal q=visn kv=txt attention (vilmodel_cmt.py:301-352)
+- graph self-attention with spatial-relation bias (vilmodel_cmt.py:391-393)
+
+All shapes are static; the bias argument carries padding masks, sprel
+distances, and the waypoint predictor's circular neighborhood mask alike.
+XLA fuses the softmax chain; a Pallas fused path can slot in here later
+without changing callers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from etpnav_tpu.ops.basic import (
+    layer_norm,
+    linear,
+    linear_init,
+    ln_init,
+    maybe_dropout,
+)
+
+
+def mha_init(key: jax.Array, dim: int, ctx_dim: Optional[int] = None) -> dict:
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    ctx_dim = ctx_dim if ctx_dim is not None else dim
+    return {
+        "q": linear_init(kq, dim, dim),
+        "k": linear_init(kk, ctx_dim, dim),
+        "v": linear_init(kv, ctx_dim, dim),
+        "o": linear_init(ko, dim, dim),
+    }
+
+
+def mha(params: dict, q_in: jax.Array, kv_in: jax.Array, num_heads: int,
+        bias: Optional[jax.Array] = None, *,
+        attn_dropout: float = 0.0, rng: Optional[jax.Array] = None,
+        train: bool = False) -> jax.Array:
+    """Multi-head attention.
+
+    q_in: (B, Lq, D), kv_in: (B, Lk, Dc), bias broadcastable to
+    (B, H, Lq, Lk) added to pre-softmax logits. Returns (B, Lq, D)
+    after the output projection (no residual / norm here).
+    """
+    B, Lq, D = q_in.shape
+    H = num_heads
+    hd = D // H
+
+    q = linear(params["q"], q_in).reshape(B, Lq, H, hd)
+    k = linear(params["k"], kv_in).reshape(B, -1, H, hd)
+    v = linear(params["v"], kv_in).reshape(B, -1, H, hd)
+
+    # (B, H, Lq, Lk) logits in fp32 for a stable softmax
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits * (1.0 / jnp.sqrt(jnp.float32(hd)))
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = maybe_dropout(probs, attn_dropout, rng, train)
+
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q_in.dtype), v,
+                     preferred_element_type=jnp.float32).astype(q_in.dtype)
+    ctx = ctx.reshape(B, Lq, D)
+    return linear(params["o"], ctx)
+
+
+def attention_output_init(key: jax.Array, dim: int) -> dict:
+    """Post-attention residual projection + LN (BertSelfOutput)."""
+    return {"dense": linear_init(key, dim, dim), "ln": ln_init(dim)}
+
+
+def self_attention_block(params: dict, x: jax.Array, num_heads: int,
+                         bias: Optional[jax.Array], eps: float, *,
+                         hidden_dropout: float = 0.0,
+                         attn_dropout: float = 0.0,
+                         rng: Optional[jax.Array] = None,
+                         train: bool = False) -> jax.Array:
+    """BERT post-norm self-attention sub-block:
+    LN(x + Dropout(Dense(MHA(x)))) — vilmodel_cmt.py:143-166.
+
+    params = {'attn': mha params (o unused -> folded into 'out'), 'out':
+    {'dense','ln'}}. We keep MHA's o-projection as the BertSelfOutput dense,
+    so params = {'attn': {q,k,v}, 'out': {dense, ln}}.
+    """
+    r1, r2 = _split(rng)
+    attn_p = {**params["attn"], "o": params["out"]["dense"]}
+    h = mha(attn_p, x, x, num_heads, bias,
+            attn_dropout=attn_dropout, rng=r1, train=train)
+    h = maybe_dropout(h, hidden_dropout, r2, train)
+    return layer_norm(x + h, params["out"]["ln"]["scale"],
+                      params["out"]["ln"]["bias"], eps)
+
+
+def cross_attention_block(params: dict, x: jax.Array, ctx: jax.Array,
+                          num_heads: int, bias: Optional[jax.Array],
+                          eps: float, *,
+                          hidden_dropout: float = 0.0,
+                          attn_dropout: float = 0.0,
+                          rng: Optional[jax.Array] = None,
+                          train: bool = False) -> jax.Array:
+    """BertXAttention: cross-attn + residual LN (vilmodel_cmt.py:354-363)."""
+    r1, r2 = _split(rng)
+    attn_p = {**params["attn"], "o": params["out"]["dense"]}
+    h = mha(attn_p, x, ctx, num_heads, bias,
+            attn_dropout=attn_dropout, rng=r1, train=train)
+    h = maybe_dropout(h, hidden_dropout, r2, train)
+    return layer_norm(x + h, params["out"]["ln"]["scale"],
+                      params["out"]["ln"]["bias"], eps)
+
+
+def self_attention_block_init(key: jax.Array, dim: int,
+                              ctx_dim: Optional[int] = None) -> dict:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "attn": {
+            "q": linear_init(k1, dim, dim),
+            "k": linear_init(k2, ctx_dim or dim, dim),
+            "v": linear_init(k3, ctx_dim or dim, dim),
+        },
+        "out": attention_output_init(k4, dim),
+    }
+
+
+def _split(rng: Optional[jax.Array]):
+    if rng is None:
+        return None, None
+    return jax.random.split(rng)

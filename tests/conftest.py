@@ -1,0 +1,30 @@
+"""Test config: force JAX onto a virtual 8-device CPU mesh so multi-chip
+sharding paths are exercised without TPU hardware (SURVEY.md §4).
+
+Note: this environment pre-imports jax at interpreter startup, so backend
+selection must go through jax.config.update (still before first backend
+use), not environment variables.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+import numpy as np
+import pytest
+
+jax.config.update("jax_platforms", "cpu")
+# fp32 parity tests need true-fp32 matmuls (default precision truncates to
+# bf16 on some backends); bf16 perf paths pass bf16 inputs and are unaffected.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,237 @@
+"""PyTorch checkpoint -> JAX param-tree converters.
+
+Handles the released ETPNav checkpoint layouts so public weights load
+bit-compatibly (BASELINE.md north star):
+
+- pretrain/finetune planner ckpts with `module.` / `bert.` / `vln_bert.`
+  prefixes (key surgery mirrors vlnbert_init.py:21-30 and
+  ss_trainer_ETP.py:226-236)
+- waypoint predictor ckpt (`check_cwp_bestdist_hfov90`, TRM_net.py layout)
+- CLIP ViT-B/32 visual tower (openai clip state_dict layout)
+- DD-PPO depth ResNet-50 (habitat ResNetEncoder layout,
+  resnet_encoders.py:37-50 key surgery)
+
+Tensors arrive as numpy arrays (or torch tensors; we call .numpy()).
+Linear weights are transposed torch (out,in) -> ours (in,out).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _np(t):
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def strip_prefixes(state_dict: Mapping, prefixes=("module.", "net.",
+                                                  "vln_bert.", "bert.")
+                   ) -> Dict[str, np.ndarray]:
+    """Normalize checkpoint keys: iteratively strip known wrapper prefixes
+    (DDP 'module.', policy 'net.'/'vln_bert.', pretrain 'bert.')."""
+    out = {}
+    for k, v in state_dict.items():
+        changed = True
+        while changed:
+            changed = False
+            for p in prefixes:
+                if k.startswith(p):
+                    k = k[len(p):]
+                    changed = True
+        out[k] = _np(v)
+    return out
+
+
+def _linear(sd, key):
+    return {"w": jnp.asarray(sd[f"{key}.weight"].T),
+            "b": jnp.asarray(sd[f"{key}.bias"])}
+
+
+def _ln(sd, key):
+    return {"scale": jnp.asarray(sd[f"{key}.weight"]),
+            "bias": jnp.asarray(sd[f"{key}.bias"])}
+
+
+def _attn_block(sd, base, out_base=None):
+    """BertSelfAttention + BertSelfOutput -> self_attention_block params."""
+    out_base = out_base or f"{base[:base.rfind('.')]}.output"
+    return {
+        "attn": {
+            "q": _linear(sd, f"{base}.query"),
+            "k": _linear(sd, f"{base}.key"),
+            "v": _linear(sd, f"{base}.value"),
+        },
+        "out": {
+            "dense": _linear(sd, f"{out_base}.dense"),
+            "ln": _ln(sd, f"{out_base}.LayerNorm"),
+        },
+    }
+
+
+def _ffn(sd, inter_key, out_key):
+    return {
+        "intermediate": _linear(sd, f"{inter_key}.dense"),
+        "output": {
+            "dense": _linear(sd, f"{out_key}.dense"),
+            "ln": _ln(sd, f"{out_key}.LayerNorm"),
+        },
+    }
+
+
+def _stack(layers):
+    import jax
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def _bert_layer(sd, base):
+    return {
+        "attention": _attn_block(sd, f"{base}.attention.self",
+                                 f"{base}.attention.output"),
+        "ffn": _ffn(sd, f"{base}.intermediate", f"{base}.output"),
+    }
+
+
+def _prenorm_layer(sd, base):
+    """torch nn.MultiheadAttention packed qkv -> split q/k/v."""
+    w = sd[f"{base}.self_attn.in_proj_weight"]
+    b = sd[f"{base}.self_attn.in_proj_bias"]
+    d = w.shape[1]
+    qw, kw, vw = w[:d], w[d:2 * d], w[2 * d:]
+    qb, kb, vb = b[:d], b[d:2 * d], b[2 * d:]
+    return {
+        "attn": {
+            "q": {"w": jnp.asarray(qw.T), "b": jnp.asarray(qb)},
+            "k": {"w": jnp.asarray(kw.T), "b": jnp.asarray(kb)},
+            "v": {"w": jnp.asarray(vw.T), "b": jnp.asarray(vb)},
+            "o": _linear(sd, f"{base}.self_attn.out_proj"),
+        },
+        "norm1": _ln(sd, f"{base}.norm1"),
+        "norm2": _ln(sd, f"{base}.norm2"),
+        "linear1": _linear(sd, f"{base}.linear1"),
+        "linear2": _linear(sd, f"{base}.linear2"),
+    }
+
+
+def convert_planner(state_dict: Mapping, num_l_layers: int = 9,
+                    num_pano_layers: int = 2, num_x_layers: int = 4) -> dict:
+    """ETPNav planner state_dict -> init_planner_params() tree."""
+    sd = strip_prefixes(state_dict)
+    params = {
+        "embeddings": {
+            "word_embeddings": jnp.asarray(
+                sd["embeddings.word_embeddings.weight"]),
+            "position_embeddings": jnp.asarray(
+                sd["embeddings.position_embeddings.weight"]),
+            "token_type_embeddings": jnp.asarray(
+                sd["embeddings.token_type_embeddings.weight"]),
+            "ln": _ln(sd, "embeddings.LayerNorm"),
+        },
+        "lang_encoder": _stack([
+            _bert_layer(sd, f"lang_encoder.layer.{i}")
+            for i in range(num_l_layers)]),
+        "img_embeddings": {
+            "img_linear": _linear(sd, "img_embeddings.img_linear"),
+            "img_ln": _ln(sd, "img_embeddings.img_layer_norm"),
+            "loc_linear": _linear(sd, "img_embeddings.loc_linear"),
+            "loc_ln": _ln(sd, "img_embeddings.loc_layer_norm"),
+            "nav_type_embedding": jnp.asarray(
+                sd["img_embeddings.nav_type_embedding.weight"]),
+            "ln": _ln(sd, "img_embeddings.layer_norm"),
+            "pano_encoder": {
+                "layers": _stack([
+                    _prenorm_layer(sd, f"img_embeddings.pano_encoder"
+                                       f".layers.{i}")
+                    for i in range(num_pano_layers)]),
+                "final_ln": _ln(sd, "img_embeddings.pano_encoder.norm"),
+            },
+        },
+        "global_encoder": {
+            "gmap_pos_embeddings": {
+                "dense": _linear(sd, "global_encoder.gmap_pos_embeddings.0"),
+                "ln": _ln(sd, "global_encoder.gmap_pos_embeddings.1"),
+            },
+            "gmap_step_embeddings": jnp.asarray(
+                sd["global_encoder.gmap_step_embeddings.weight"]),
+            "encoder": _stack([
+                _x_layer(sd, f"global_encoder.encoder.x_layers.{i}")
+                for i in range(num_x_layers)]),
+        },
+        "global_sap_head": {
+            "dense1": _linear(sd, "global_sap_head.net.0"),
+            "ln": _ln(sd, "global_sap_head.net.2"),
+            "dense2": _linear(sd, "global_sap_head.net.4"),
+        },
+    }
+    if "img_embeddings.dep_linear.weight" in sd:
+        params["img_embeddings"]["dep_linear"] = _linear(
+            sd, "img_embeddings.dep_linear")
+        params["img_embeddings"]["dep_ln"] = _ln(
+            sd, "img_embeddings.dep_layer_norm")
+    if "global_encoder.sprel_linear.weight" in sd:
+        params["global_encoder"]["sprel_linear"] = _linear(
+            sd, "global_encoder.sprel_linear")
+    return params
+
+
+def _x_layer(sd, base):
+    return {
+        "visual_attention": {
+            "attn": {
+                "q": _linear(sd, f"{base}.visual_attention.att.query"),
+                "k": _linear(sd, f"{base}.visual_attention.att.key"),
+                "v": _linear(sd, f"{base}.visual_attention.att.value"),
+            },
+            "out": {
+                "dense": _linear(sd, f"{base}.visual_attention.output.dense"),
+                "ln": _ln(sd, f"{base}.visual_attention.output.LayerNorm"),
+            },
+        },
+        "visn_self_att": _attn_block(sd, f"{base}.visn_self_att.self",
+                                     f"{base}.visn_self_att.output"),
+        "visn_ffn": {
+            "intermediate": _linear(sd, f"{base}.visn_inter.dense"),
+            "output": {
+                "dense": _linear(sd, f"{base}.visn_output.dense"),
+                "ln": _ln(sd, f"{base}.visn_output.LayerNorm"),
+            },
+        },
+    }
+
+
+def convert_waypoint(state_dict: Mapping, num_layers: int = 2) -> dict:
+    """Waypoint predictor ckpt -> init_waypoint_params() tree
+    (TRM_net.py layout; trainer strips 'predictor.' prefixes,
+    ss_trainer_ETP.py:196-202)."""
+    sd = strip_prefixes(state_dict, ("module.", "predictor."))
+    return {
+        "visual_fc_depth": _linear(sd, "visual_fc_depth.1"),
+        "waypoint_trm": _stack([
+            _bert_layer(sd, f"waypoint_TRM.bert.encoder.layer.{i}")
+            for i in range(num_layers)]),
+        "vis_classifier": {
+            "dense1": _linear(sd, "vis_classifier.0"),
+            "dense2": _linear(sd, "vis_classifier.2"),
+        },
+    }
+
+
+def convert_hf_bert_encoder(state_dict: Mapping, num_layers: int) -> dict:
+    """HF transformers BertModel state_dict -> our embeddings + stacked
+    layers; used for golden parity tests and tokenizer-compatible init."""
+    sd = strip_prefixes(state_dict, ("bert.",))
+    emb = {
+        "word_embeddings": jnp.asarray(sd["embeddings.word_embeddings.weight"]),
+        "position_embeddings": jnp.asarray(
+            sd["embeddings.position_embeddings.weight"]),
+        "token_type_embeddings": jnp.asarray(
+            sd["embeddings.token_type_embeddings.weight"]),
+        "ln": _ln(sd, "embeddings.LayerNorm"),
+    }
+    layers = _stack([_bert_layer(sd, f"encoder.layer.{i}")
+                     for i in range(num_layers)])
+    return {"embeddings": emb, "lang_encoder": layers}

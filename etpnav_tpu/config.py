@@ -231,8 +231,10 @@ def tiny_config(**overrides) -> ExperimentConfig:
                               depth_feat_shape=(16, 2, 2))
     clip = ClipConfig(image_size=32, patch_size=16, width=64, layers=2,
                       heads=4, output_dim=32)
-    depth = DepthEncoderConfig(input_size=32, baseplanes=8, ngroups=4,
-                               layers=(1, 1, 1, 1), output_size=16)
+    # input 64 -> spatial 2, compression channels 64/4 = 16 -> (2,2,16),
+    # CHW-flat 64 matching waypoint depth_feat_shape (16,2,2)
+    depth = DepthEncoderConfig(input_size=64, baseplanes=8, ngroups=4,
+                               layers=(1, 1, 1, 1), output_size=64)
     il = ILConfig(iters=2, log_every=1, batch_size=2, max_traj_len=4,
                   max_text_len=16)
     pretrain = PretrainConfig(num_train_steps=4, warmup_steps=2, batch_size=2,

@@ -1,0 +1,375 @@
+"""GeometricNavEnv: a synthetic continuous navigation world.
+
+Plays the role habitat-sim plays for the reference (SURVEY.md §4's
+"sim-free fake env"): a deterministic, obstacle-bearing 2.5D world with the
+exact control surface of VLNCEDaggerEnv (common/environments.py:340-518) —
+15-degree turn quantization, 0.25 m forward micro-steps, collision
+detection, the random-left/right "tryout" recovery sequences, teleport and
+back-path control, stop semantics — plus procedural 12-view RGB-D
+rendering so the full TPU encoder stack has real pixels to chew on in CI
+and benchmarks.
+
+Geodesic distances are Euclidean in this world (no walls between free
+cells); obstacles are circular pillars that block micro-stepping, which is
+enough to exercise the tryout controller.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from etpnav_tpu.env.protocol import Episode, StepResult
+from etpnav_tpu.graph.geometry import heading_from_quaternion
+
+TURN_DEG = 15.0            # habitat TURN_LEFT actuation
+FORWARD_M = 0.25           # habitat MOVE_FORWARD actuation
+AGENT_RADIUS = 0.1
+
+# tryout recovery turn sequences (environments.py:385-404): after a
+# collision, turn 90deg left/right then probe (head_turn, tail_turn) pairs
+TRYOUT_LEFT_FIRST = [(0, 270), (330, 300), (330, 330), (300, 30),
+                     (330, 60), (330, 90)]
+TRYOUT_RIGHT_FIRST = [(0, 90), (30, 60), (30, 30), (60, 330),
+                      (30, 300), (30, 270)]
+
+
+def heading_to_quat(heading: float) -> np.ndarray:
+    """(x,y,z,w) quaternion for a rotation of `heading` about +y such that
+    heading_from_quaternion() round-trips."""
+    return np.array([0.0, math.sin(heading / 2.0), 0.0,
+                     math.cos(heading / 2.0)])
+
+
+class _World:
+    """Deterministic per-scene world: circular obstacles on a plane."""
+
+    def __init__(self, scene_seed: int, num_obstacles: int = 40,
+                 extent: float = 20.0, radius: float = 0.35):
+        g = np.random.default_rng(scene_seed)
+        self.obstacles = g.uniform(-extent, extent, (num_obstacles, 2))
+        self.radius = radius
+        self.extent = extent
+
+    def blocked(self, xz: np.ndarray) -> bool:
+        if np.abs(xz).max() > self.extent + 5.0:
+            return True
+        d = np.linalg.norm(self.obstacles - xz[None], axis=1)
+        return bool((d < self.radius + AGENT_RADIUS).any())
+
+
+class GeometricNavEnv:
+    """Batched synthetic env implementing the VectorNavEnv protocol."""
+
+    def __init__(self, num_envs: int, *, seed: int = 0, vocab_size: int = 512,
+                 max_instr_len: int = 16, image_size: int = 224,
+                 depth_size: int = 128, episodes_per_env: int = 1000,
+                 num_views: int = 12, pad_id: int = 0,
+                 episodes: Optional[List[Episode]] = None):
+        self._num_total = num_envs
+        self.seed = seed
+        self.vocab_size = vocab_size
+        self.max_instr_len = max_instr_len
+        self.image_size = image_size
+        self.depth_size = depth_size
+        self.num_views = num_views
+        self.pad_id = pad_id
+        self._episode_seeds = [seed * 10_000 + i for i in range(num_envs)]
+        self._episode_counter = [0] * num_envs
+        self._fixed_episodes = episodes
+        self._rng = np.random.default_rng(seed + 777)
+
+        self._worlds: List[_World] = [None] * num_envs
+        self._episodes: List[Episode] = [None] * num_envs
+        self._pos = np.zeros((num_envs, 3))
+        self._heading = np.zeros((num_envs,))
+        self._paused: List[int] = []
+        self._live = list(range(num_envs))
+        self._collisions = np.zeros(num_envs, np.int64)
+        self._steps_taken = np.zeros(num_envs, np.int64)
+        self._positions_log: List[List[np.ndarray]] = [
+            [] for _ in range(num_envs)]
+        self._heading_log: List[List[float]] = [[] for _ in range(num_envs)]
+
+    # ------------------------------------------------------------------ mgmt
+
+    @property
+    def num_envs(self) -> int:
+        return len(self._live)
+
+    def pause_at(self, idx: int):
+        self._live.pop(idx)
+
+    def resume_all(self):
+        self._live = list(range(self._num_total))
+
+    def current_episodes(self) -> List[Episode]:
+        return [self._episodes[g] for g in self._live]
+
+    # ------------------------------------------------------------- episodes
+
+    def _make_episode(self, env_i: int) -> Episode:
+        if self._fixed_episodes is not None:
+            ep = self._fixed_episodes[
+                self._episode_counter[env_i] % len(self._fixed_episodes)]
+            self._episode_counter[env_i] += 1
+            return ep
+        eseed = (self._episode_seeds[env_i]
+                 + self._episode_counter[env_i] * 131)
+        self._episode_counter[env_i] += 1
+        g = np.random.default_rng(eseed)
+        start = np.array([g.uniform(-3, 3), 0.0, g.uniform(-3, 3)])
+        # ground-truth path: a few segments of 1.5-3m
+        path = [start]
+        heading = g.uniform(0, 2 * math.pi)
+        for _ in range(g.integers(3, 7)):
+            heading += g.uniform(-1.0, 1.0)
+            step = g.uniform(1.5, 3.0)
+            nxt = path[-1] + np.array(
+                [-step * math.sin(heading), 0.0, -step * math.cos(heading)])
+            path.append(nxt)
+        tokens = np.full(self.max_instr_len, self.pad_id, np.int64)
+        n_tok = int(g.integers(4, self.max_instr_len))
+        lo = 3 if self.pad_id <= 2 else 0
+        tokens[:n_tok] = g.integers(lo, self.vocab_size, n_tok)
+        return Episode(
+            episode_id=str(eseed), scene_id=f"scene{eseed % 7}",
+            instruction_tokens=tokens,
+            instruction_text=f"synthetic instruction {eseed}",
+            start_position=start, start_heading=float(g.uniform(0, 2*math.pi)),
+            goal_position=path[-1],
+            reference_path=[p.copy() for p in path],
+            instruction_id=eseed,
+        )
+
+    def reset(self) -> List[Dict[str, np.ndarray]]:
+        obs = []
+        for g in self._live:
+            ep = self._make_episode(g)
+            self._episodes[g] = ep
+            self._worlds[g] = _World(hash(ep.scene_id) % (2**31))
+            self._pos[g] = ep.start_position
+            self._heading[g] = ep.start_heading
+            self._collisions[g] = 0
+            self._steps_taken[g] = 0
+            self._positions_log[g] = [self._pos[g].copy()]
+            self._heading_log[g] = [float(self._heading[g])]
+            obs.append(self._observation(g))
+        return obs
+
+    # ------------------------------------------------------------ rendering
+
+    def _observation(self, g: int) -> Dict[str, np.ndarray]:
+        """12-view RGB-D panorama + instruction tokens. Pixels are a cheap
+        deterministic function of (pos, view) so encoders see varied input."""
+        ep = self._episodes[g]
+        pos = self._pos[g]
+        key = (int(pos[0] * 7.3) * 31 + int(pos[2] * 7.3)) % (2**16)
+        rgb = np.empty((self.num_views, self.image_size, self.image_size, 3),
+                       np.uint8)
+        dep = np.empty((self.num_views, self.depth_size, self.depth_size, 1),
+                       np.float32)
+        lin = np.linspace(0, 1, self.image_size, dtype=np.float32)
+        lin_d = np.linspace(0, 1, self.depth_size, dtype=np.float32)
+        for v in range(self.num_views):
+            phase = (key + v * 997) % 251 / 251.0
+            img = (np.add.outer(lin, lin * (1 + phase)) * 127.5
+                   + 127.5 * phase)
+            rgb[v] = np.stack([
+                img.astype(np.uint8),
+                ((img * 0.7 + 40 * phase) % 255).astype(np.uint8),
+                ((img * 0.4 + 90 * phase) % 255).astype(np.uint8)], -1)
+            dmap = (np.add.outer(lin_d * phase, lin_d) / 2.0)
+            dep[v] = dmap[..., None] % 1.0
+        return {
+            "rgb": rgb, "depth": dep,
+            "instruction": self._episodes[g].instruction_tokens.copy(),
+        }
+
+    # ---------------------------------------------------------- micro-steps
+
+    def _forward_once(self, g: int) -> bool:
+        """One 0.25 m forward micro-step. Returns True if collided
+        (movement blocked)."""
+        h = self._heading[g]
+        delta = np.array([-FORWARD_M * math.sin(h), 0.0,
+                          -FORWARD_M * math.cos(h)])
+        nxt = self._pos[g] + delta
+        self._steps_taken[g] += 1
+        if self._worlds[g].blocked(nxt[[0, 2]]):
+            self._collisions[g] += 1
+            return True
+        self._pos[g] = nxt
+        self._log_pose(g)
+        return False
+
+    def _turn(self, g: int, ang_rad: float):
+        """Quantized turn (environments.py:340-358): round to 15deg units,
+        fold to (-180, 180], apply as one rotation (micro-turns have no
+        collision in this world, so they compose)."""
+        deg = round(math.degrees(ang_rad) / TURN_DEG) * TURN_DEG
+        if 180 < deg <= 360:
+            deg -= 360
+        self._heading[g] = (self._heading[g] + math.radians(deg)) \
+            % (2 * math.pi)
+        self._steps_taken[g] += abs(int(deg // TURN_DEG))
+        self._log_pose(g)
+
+    def _log_pose(self, g: int):
+        self._positions_log[g].append(self._pos[g].copy())
+        self._heading_log[g].append(float(self._heading[g]))
+
+    def _rel_angle_dist(self, g: int, target: np.ndarray):
+        d = target - self._pos[g]
+        dist = math.hypot(d[0], d[2])
+        ang_world = math.atan2(-d[0], -d[2])
+        rel = (ang_world - self._heading[g]) % (2 * math.pi)
+        return rel, dist
+
+    def _single_step_control(self, g: int, target: np.ndarray,
+                             tryout: bool):
+        """Turn-then-forward with tryout recovery
+        (environments.py:363-421)."""
+        rel, dist = self._rel_angle_dist(g, target)
+        self._turn(g, rel)
+        ksteps = int(dist // FORWARD_M)
+        done_steps = 0
+        collided = False
+        for _ in range(ksteps):
+            if self._forward_once(g):
+                collided = True
+                break
+            done_steps += 1
+        remaining = ksteps - done_steps
+        if tryout and collided and remaining > 0:
+            try_left = bool(self._rng.integers(0, 2))
+            self._turn(g, math.radians(90 if try_left else 270))
+            seqs = TRYOUT_LEFT_FIRST if try_left else TRYOUT_RIGHT_FIRST
+            for head, tail in seqs:
+                self._turn(g, math.radians(head))
+                before = self._pos[g].copy()
+                self._forward_once(g)
+                if not np.allclose(before, self._pos[g]):
+                    self._turn(g, math.radians(tail))
+                    for _ in range(remaining):
+                        if self._forward_once(g):
+                            break
+                    break
+
+    def _teleport(self, g: int, pos: np.ndarray):
+        self._pos[g] = np.asarray(pos, float).copy()
+        self._heading[g] = 0.0
+        self._log_pose(g)
+
+    # --------------------------------------------------------------- actions
+
+    def step(self, actions: Sequence[dict]) -> List[StepResult]:
+        """act 4: (teleport|control) to front node then control to ghost;
+        act 0: return/stop (environments.py:436-480)."""
+        results = []
+        for li, action in enumerate(actions):
+            g = self._live[li]
+            act = action["act"]
+            if act == 4:
+                if action.get("back_path") is None:
+                    self._teleport(g, action["front_pos"])
+                else:
+                    for _vp, vp_pos in action["back_path"]:
+                        self._single_step_control(g, np.asarray(vp_pos),
+                                                  action.get("tryout", True))
+                self._single_step_control(
+                    g, np.asarray(action["ghost_pos"]),
+                    action.get("tryout", True))
+                done = False
+            elif act == 0:
+                if action.get("back_path") is None:
+                    self._teleport(g, action["stop_pos"])
+                else:
+                    for _vp, vp_pos in action["back_path"]:
+                        self._single_step_control(g, np.asarray(vp_pos),
+                                                  action.get("tryout", True))
+                done = True
+            else:
+                raise NotImplementedError(act)
+            info = self._info(g) if done else {}
+            results.append(StepResult(self._observation(g), done, info))
+        return results
+
+    def _info(self, g: int) -> dict:
+        ep = self._episodes[g]
+        positions = np.stack(self._positions_log[g])
+        dists = np.array([self._geodesic(p, ep.goal_position)
+                          for p in positions])
+        return {
+            "position": {"position": positions, "distance": dists},
+            "position_infer": {
+                "position": [list(map(float, p))
+                             for p in self._positions_log[g]],
+                "heading": self._heading_log[g],
+            },
+            "steps_taken": int(self._steps_taken[g]),
+            "collisions": {"count": int(self._collisions[g])},
+        }
+
+    # --------------------------------------------------------------- oracles
+
+    @staticmethod
+    def _geodesic(a: np.ndarray, b: np.ndarray) -> float:
+        return float(np.linalg.norm(np.asarray(a) - np.asarray(b)))
+
+    def get_pos_ori(self):
+        pos = np.stack([self._pos[g] for g in self._live])
+        ori = np.stack([heading_to_quat(self._heading[g])
+                        for g in self._live])
+        return pos, ori
+
+    def current_dist_to_goal(self) -> np.ndarray:
+        return np.array([
+            self._geodesic(self._pos[g], self._episodes[g].goal_position)
+            for g in self._live])
+
+    def point_dist_to_goal(self, env_idx: int, pos) -> float:
+        g = self._live[env_idx]
+        return self._geodesic(pos, self._episodes[g].goal_position)
+
+    def cand_real_pos(self, env_idx: int, angles, distances) -> np.ndarray:
+        """Simulate each candidate: rotate to the (ccw) angle and forward
+        k*0.25m with collisions, restoring state (environments.py:121-143)."""
+        g = self._live[env_idx]
+        save_pos, save_h = self._pos[g].copy(), self._heading[g]
+        save_steps = self._steps_taken[g]
+        save_coll = self._collisions[g]
+        save_log = len(self._positions_log[g])
+        out = []
+        for ang, dist in zip(angles, distances):
+            self._pos[g], self._heading[g] = save_pos.copy(), save_h
+            self._heading[g] = (save_h + ang) % (2 * math.pi)
+            for _ in range(int(dist // FORWARD_M)):
+                if self._forward_once(g):
+                    break
+            out.append(self._pos[g].copy())
+        # restore full agent state incl. measure logs (state-preserving
+        # oracle, like the reference's set_agent_state round-trip)
+        self._pos[g], self._heading[g] = save_pos, save_h
+        self._steps_taken[g] = save_steps
+        self._collisions[g] = save_coll
+        self._positions_log[g] = self._positions_log[g][:save_log]
+        self._heading_log[g] = self._heading_log[g][:save_log]
+        return np.stack(out)
+
+    def ghost_dist_to_ref(self, env_idx: int, ghost_positions,
+                          ref_path) -> int:
+        """ndtw-expert subgoal selection (environments.py:157-192),
+        stateless variant: subgoal = last reference point within 3 m of the
+        agent's progress prefix; returns argmin ghost index."""
+        g = self._live[env_idx]
+        ref = np.asarray(ref_path)
+        d = np.linalg.norm(ref - self._pos[g][None], axis=1)
+        within = d <= 3.0
+        sub_goal = ref[int(np.flatnonzero(within)[-1])] if within.any() \
+            else ref[0]
+        gd = np.linalg.norm(np.asarray(ghost_positions) - sub_goal[None],
+                            axis=1)
+        return int(np.argmin(gd))

@@ -1,0 +1,244 @@
+"""Schedule-sampling IL fine-tune trainer (SS-ETP equivalent).
+
+Capability target: RLTrainer (ss_trainer_ETP.py:60-756) — train / eval /
+inference over the rollout loop — with the TPU rollout-replay design:
+
+- rollout (training/rollout.py) records one interval of frozen features +
+  graph assembly + teacher actions;
+- `learn_step` below replays the differentiable path in ONE jitted program:
+  text encoder + pano encoder over all (B*T) steps at once + navigation
+  encoder over all steps at once, cross-entropy against teacher actions
+  (ignore -100, normalized by total live steps like
+  ss_trainer_ETP.py:892,1054-1056), AdamW update on planner params only
+  (the reference freezes CLIP/depth/waypoint too).
+
+bf16 activations; fp32 params and optimizer state; no loss scaling needed
+(TPU-native replacement for torch.cuda.amp GradScaler,
+ss_trainer_ETP.py:463,502-506).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+from collections import defaultdict
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from etpnav_tpu.config import ExperimentConfig
+from etpnav_tpu.metrics import aggregate
+from etpnav_tpu.models import planner
+from etpnav_tpu.training.agent import AgentParams, JittedAgent, \
+    init_agent_params
+from etpnav_tpu.training.rollout import RolloutEngine, RolloutRecord
+
+
+def compute_il_loss(planner_params: dict, cfg: ExperimentConfig,
+                    batch: dict, rng: jax.Array) -> jax.Array:
+    """Replay loss over a recorded rollout interval.
+
+    batch holds device arrays mirroring RolloutRecord. Differentiable path:
+    txt encoder -> pano encoder -> (linear aggregation W) -> nav encoder ->
+    CE. Frozen visual features enter as data.
+    """
+    p = cfg.planner
+    B, T, P = batch["vp_rgb"].shape[:3]
+    G = batch["gmap_mask"].shape[2]
+    r_txt, r_pano, r_nav, r_drop = jax.random.split(rng, 4)
+
+    txt = planner.forward_txt(planner_params, p, batch["txt_ids"],
+                              batch["txt_masks"], rng=r_txt, train=True)
+
+    # drop_env on rgb features (Policy_ViewSelection_ETP.py:102,345)
+    rgb = batch["vp_rgb"]
+    keep = 0.6
+    dmask = jax.random.bernoulli(r_drop, keep, rgb.shape)
+    rgb = jnp.where(dmask, rgb / keep, 0.0)
+
+    pano_embeds, _ = planner.forward_panorama(
+        planner_params, p,
+        rgb.reshape(B * T, P, -1),
+        batch["vp_dep"].reshape(B * T, P, -1),
+        batch["vp_loc"].reshape(B * T, P, -1),
+        batch["vp_nav"].reshape(B * T, P),
+        batch["vp_mask"].reshape(B * T, P),
+        rng=r_pano, train=True)
+    pano_flat = pano_embeds.reshape(B, T * P, -1)
+    # zero tokens of invalid steps so W rows only see real data
+    step_tok_mask = jnp.repeat(batch["step_valid"], P, axis=1)  # (B, T*P)
+    pano_flat = pano_flat * step_tok_mask[..., None]
+
+    # graph node features: one MXU matmul against the recorded aggregation
+    gmap_img = jnp.einsum("btgs,bsd->btgd",
+                          batch["agg_w"].astype(pano_flat.dtype), pano_flat,
+                          preferred_element_type=jnp.float32
+                          ).astype(pano_flat.dtype)
+
+    # navigation encoder over all steps at once
+    txt_tiled = jnp.broadcast_to(txt[:, None], (B, T) + txt.shape[1:]) \
+        .reshape(B * T, *txt.shape[1:])
+    txt_mask_tiled = jnp.broadcast_to(
+        batch["txt_masks"][:, None], (B, T, txt.shape[1])) \
+        .reshape(B * T, -1)
+    nav = planner.forward_navigation(
+        planner_params, p, txt_tiled, txt_mask_tiled,
+        gmap_img.reshape(B * T, G, -1),
+        batch["gmap_step_ids"].reshape(B * T, G),
+        batch["gmap_pos_fts"].reshape(B * T, G, -1),
+        batch["gmap_mask"].reshape(B * T, G),
+        batch["gmap_visited"].reshape(B * T, G),
+        batch["gmap_pair"].reshape(B * T, G, G),
+        rng=r_nav, train=True)
+    logits = nav["global_logits"].reshape(B, T, G)
+
+    teacher = batch["teacher"]                        # (B, T), -100 ignore
+    valid = (teacher >= 0) & batch["step_valid"]
+    safe_t = jnp.maximum(teacher, 0)
+    # cross entropy with -inf-masked logits: use where to avoid nan*0
+    logp = jax.nn.log_softmax(
+        jnp.where(jnp.isfinite(logits), logits, -1e9), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_t[..., None], axis=-1)[..., 0]
+    loss_sum = jnp.where(valid, nll, 0.0).sum()
+    total_actions = jnp.maximum(batch["step_valid"].sum(), 1)
+    return cfg.il.ml_weight * loss_sum / total_actions
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tx"))
+def learn_step(planner_params: dict, opt_state, cfg: ExperimentConfig,
+               tx, batch: dict, rng: jax.Array):
+    loss, grads = jax.value_and_grad(compute_il_loss)(
+        planner_params, cfg, batch, rng)
+    updates, opt_state = tx.update(grads, opt_state, planner_params)
+    planner_params = optax.apply_updates(planner_params, updates)
+    return planner_params, opt_state, loss
+
+
+def record_to_batch(rec: RolloutRecord) -> dict:
+    return {
+        "txt_ids": jnp.asarray(rec.txt_ids),
+        "txt_masks": jnp.asarray(rec.txt_masks),
+        "vp_rgb": jnp.asarray(rec.vp_rgb),
+        "vp_dep": jnp.asarray(rec.vp_dep),
+        "vp_loc": jnp.asarray(rec.vp_loc),
+        "vp_nav": jnp.asarray(rec.vp_nav),
+        "vp_mask": jnp.asarray(rec.vp_mask),
+        "agg_w": jnp.asarray(rec.agg_w),
+        "gmap_step_ids": jnp.asarray(rec.gmap_step_ids),
+        "gmap_pos_fts": jnp.asarray(rec.gmap_pos_fts),
+        "gmap_mask": jnp.asarray(rec.gmap_mask),
+        "gmap_visited": jnp.asarray(rec.gmap_visited),
+        "gmap_pair": jnp.asarray(rec.gmap_pair),
+        "teacher": jnp.asarray(rec.teacher),
+        "step_valid": jnp.asarray(rec.step_valid),
+    }
+
+
+class FinetuneTrainer:
+    """train / eval / inference driver (run.py surface equivalent)."""
+
+    def __init__(self, cfg: ExperimentConfig, envs, *,
+                 params: Optional[AgentParams] = None,
+                 ckpt_dir: str = "checkpoints", seed: int = 0):
+        self.cfg = cfg
+        self.envs = envs
+        self.ckpt_dir = ckpt_dir
+        key = jax.random.PRNGKey(seed)
+        self.params = params or init_agent_params(key, cfg)
+        self.agent = JittedAgent(cfg, self.params)
+        self.engine = RolloutEngine(cfg, self.agent, envs, seed=seed)
+        self.tx = optax.adamw(cfg.il.lr)
+        self.opt_state = self.tx.init(self.params.planner)
+        self.rng = jax.random.PRNGKey(seed + 1)
+        self.iteration = 0
+        self.logs = defaultdict(list)
+
+    def _refresh_agent(self):
+        # JittedAgent closures take params per call; just swap the tuple
+        self.agent.params = self.params
+
+    def train(self, iters: Optional[int] = None,
+              gt_paths: Optional[dict] = None) -> Dict[str, float]:
+        il = self.cfg.il
+        iters = iters if iters is not None else il.iters
+        for _ in range(iters):
+            ratio = il.sample_ratio ** (
+                self.iteration // il.decay_interval + 1)
+            rec = self.engine.run("train", sample_ratio=ratio,
+                                  gt_paths=gt_paths)
+            batch = record_to_batch(rec)
+            self.rng, sub = jax.random.split(self.rng)
+            new_planner, self.opt_state, loss = learn_step(
+                self.params.planner, self.opt_state, self.cfg, self.tx,
+                batch, sub)
+            self.params = self.params._replace(planner=new_planner)
+            self._refresh_agent()
+            self.iteration += 1
+            self.logs["IL_loss"].append(float(loss))
+        return {k: float(np.mean(v[-iters:])) for k, v in self.logs.items()}
+
+    def evaluate(self, episode_count: int,
+                 gt_paths: Optional[dict] = None) -> Dict[str, float]:
+        """Eval loop (ss_trainer_ETP.py:513-641): argmax policy, metric
+        aggregation over unique episodes."""
+        stat_eps: dict = {}
+        guard = 0
+        while len(stat_eps) < episode_count and guard < 10 * episode_count:
+            self.engine.run("eval", stat_eps=stat_eps, gt_paths=gt_paths)
+            guard += 1
+        return aggregate(stat_eps)
+
+    def inference(self, episode_count: int, predictions_file: str,
+                  fmt: str = "r2r") -> dict:
+        """Leaderboard submission writer (ss_trainer_ETP.py:643-756)."""
+        path_eps: dict = {}
+        guard = 0
+        while len(path_eps) < episode_count and guard < 10 * episode_count:
+            self.engine.run("infer", path_eps=path_eps)
+            guard += 1
+        os.makedirs(os.path.dirname(predictions_file) or ".", exist_ok=True)
+        if fmt == "r2r":
+            payload = {k: v["path"] for k, v in path_eps.items()}
+            with open(predictions_file, "w") as f:
+                json.dump(payload, f, indent=2)
+        else:  # rxr jsonl
+            preds = []
+            for k, v in path_eps.items():
+                pts = [v["path"][0]["position"]]
+                for p in v["path"][1:]:
+                    if p["position"] != pts[-1]:
+                        pts.append(p["position"])
+                preds.append({"instruction_id": v["instruction_id"],
+                              "path": pts})
+            preds.sort(key=lambda x: x["instruction_id"])
+            with open(predictions_file, "w") as f:
+                for p in preds:
+                    f.write(json.dumps(p) + "\n")
+        return path_eps
+
+    # ------------------------------------------------------------- ckpts
+
+    def save_checkpoint(self, path: str):
+        from etpnav_tpu.training.checkpoints import save_checkpoint
+        save_checkpoint(path, {
+            "params": self.params._asdict(),
+            "opt_state": self.opt_state,
+            "iteration": self.iteration,
+        })
+
+    def load_checkpoint(self, path: str):
+        from etpnav_tpu.training.checkpoints import load_checkpoint
+        state = load_checkpoint(path, {
+            "params": self.params._asdict(),
+            "opt_state": self.opt_state,
+            "iteration": self.iteration,
+        })
+        self.params = AgentParams(**state["params"])
+        self.opt_state = state["opt_state"]
+        self.iteration = int(state["iteration"])
+        self._refresh_agent()

@@ -1,0 +1,436 @@
+"""Rollout engine: host-driven episode loop over jitted device programs.
+
+Capability target: RLTrainer.rollout (ss_trainer_ETP.py:764-1057) — the
+train/eval/infer episode loop — redesigned for TPU as *rollout-replay*:
+
+1. Rollout (this file): step the envs with inference-only jitted programs
+   (bf16, no activation storage), maintaining per-env TopoMaps host-side,
+   and record every device input needed to replay the differentiable path:
+   frozen vp token features, padded graph arrays, the linear aggregation
+   matrix W mapping pano tokens -> graph node features, and teacher
+   actions.
+2. Learn (training/finetune.py): ONE fused jitted train step recomputes
+   text/pano/navigation encoders over all recorded steps at once
+   (B*T-batched, MXU-efficient) and backprops — replacing the reference's
+   dynamic-graph backward through 20 sequential env-interleaved steps.
+
+Gradient-path equivalence: in the reference, grads flow through pano
+embeddings into graph node features (node = masked-average of its visit
+step's tokens, ghost = running mean of observed candidate tokens,
+vilmodel_cmt.py:581-615 / ss_trainer_ETP.py:362-366) — exactly the linear
+map W recorded here. The frozen CLIP/depth/waypoint encoders carry no
+gradient in the reference either (ss_trainer_ETP.py:484-490).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from etpnav_tpu.config import ExperimentConfig
+from etpnav_tpu.graph.topo_map import TopoMap
+from etpnav_tpu.metrics import episode_metrics
+from etpnav_tpu.training.agent import JittedAgent
+
+
+@dataclasses.dataclass
+class RolloutRecord:
+    """Fixed-shape recording of one rollout interval for the learn phase."""
+    txt_ids: np.ndarray        # (B, L)
+    txt_masks: np.ndarray      # (B, L)
+    vp_rgb: np.ndarray         # (B, T, P, Dr)
+    vp_dep: np.ndarray         # (B, T, P, Dd)
+    vp_loc: np.ndarray         # (B, T, P, 4)
+    vp_nav: np.ndarray         # (B, T, P)
+    vp_mask: np.ndarray        # (B, T, P)
+    agg_w: np.ndarray          # (B, T, G, T*P)
+    gmap_step_ids: np.ndarray  # (B, T, G)
+    gmap_pos_fts: np.ndarray   # (B, T, G, 7)
+    gmap_mask: np.ndarray      # (B, T, G)
+    gmap_visited: np.ndarray   # (B, T, G)
+    gmap_pair: np.ndarray      # (B, T, G, G)
+    teacher: np.ndarray        # (B, T) int32, -100 = ignore
+    step_valid: np.ndarray     # (B, T) bool
+
+
+class RolloutEngine:
+    def __init__(self, cfg: ExperimentConfig, agent: JittedAgent, envs,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.agent = agent
+        self.envs = envs
+        self.np_rng = np.random.default_rng(seed)
+        self._jrng = jax.random.PRNGKey(seed)
+
+    def _next_rng(self):
+        self._jrng, sub = jax.random.split(self._jrng)
+        return sub
+
+    # ------------------------------------------------------------------ run
+
+    def run(self, mode: str, sample_ratio: float = 0.0,
+            gt_paths: Optional[Dict[str, np.ndarray]] = None,
+            stat_eps: Optional[dict] = None,
+            path_eps: Optional[dict] = None) -> Optional[RolloutRecord]:
+        """One interval: reset all envs, run episodes to completion.
+
+        mode: 'train' records a RolloutRecord; 'eval' fills stat_eps with
+        metrics; 'infer' fills path_eps with recorded paths.
+        """
+        cfg = self.cfg
+        il = cfg.il
+        envs = self.envs
+        envs.resume_all()
+        obs_list = envs.reset()
+        B0 = envs.num_envs
+        episodes = envs.current_episodes()
+
+        if mode == "eval" and stat_eps is not None:
+            to_pause = [i for i, ep in enumerate(episodes)
+                        if ep.episode_id in stat_eps]
+            for i in reversed(to_pause):
+                envs.pause_at(i)
+            if envs.num_envs == 0:
+                return None
+            obs_list = [o for i, o in enumerate(obs_list)
+                        if i not in to_pause]
+            episodes = envs.current_episodes()
+        if mode == "infer" and path_eps is not None:
+            to_pause = [i for i, ep in enumerate(episodes)
+                        if ep.episode_id in path_eps]
+            for i in reversed(to_pause):
+                envs.pause_at(i)
+            if envs.num_envs == 0:
+                return None
+            obs_list = [o for i, o in enumerate(obs_list)
+                        if i not in to_pause]
+            episodes = envs.current_episodes()
+
+        B = envs.num_envs
+        L = il.max_text_len
+        T = il.max_traj_len
+        P = cfg.waypoint.max_predictions + 12
+        G = cfg.planner.max_gmap_len
+        S = T * P
+        Dr = cfg.planner.image_feat_size
+        Dd = cfg.planner.depth_feat_size
+        Dh = cfg.planner.hidden_size
+
+        # instruction batch (extract_instruction_tokens equivalent)
+        txt_ids = np.stack([
+            _fit(o["instruction"], L, cfg.planner.pad_token_id)
+            for o in obs_list])
+        txt_masks = txt_ids != cfg.planner.pad_token_id
+        txt_embeds_all = self.agent.encode_text(txt_ids, txt_masks)
+
+        train = mode == "train"
+        rec = None
+        if train:
+            rec = RolloutRecord(
+                txt_ids=txt_ids, txt_masks=txt_masks,
+                vp_rgb=np.zeros((B, T, P, Dr), np.float32),
+                vp_dep=np.zeros((B, T, P, Dd), np.float32),
+                vp_loc=np.zeros((B, T, P, 4), np.float32),
+                vp_nav=np.zeros((B, T, P), np.int32),
+                vp_mask=np.zeros((B, T, P), bool),
+                agg_w=np.zeros((B, T, G, S), np.float32),
+                gmap_step_ids=np.zeros((B, T, G), np.int32),
+                gmap_pos_fts=np.zeros((B, T, G, 7), np.float32),
+                gmap_mask=np.zeros((B, T, G), bool),
+                gmap_visited=np.zeros((B, T, G), bool),
+                gmap_pair=np.zeros((B, T, G, G), np.float32),
+                teacher=np.full((B, T), -100, np.int32),
+                step_valid=np.zeros((B, T), bool),
+            )
+
+        gmaps = [TopoMap(loc_noise=il.loc_noise,
+                         merge_ghost=True,
+                         ghost_aug=il.ghost_aug if train else 0.0,
+                         track_real_pos=train,
+                         rng=self.np_rng)
+                 for _ in range(B)]
+        # per-env ghost real positions for the teacher (gid -> [pos])
+        ghost_real: List[Dict[int, list]] = [dict() for _ in range(B)]
+        prev_node = [None] * B
+        live = list(range(B))          # original env-slot index per live env
+
+        for stepk in range(T):
+            n = envs.num_envs
+            rgb = np.stack([o["rgb"] for o in obs_list])
+            depth = np.stack([o["depth"] for o in obs_list])
+
+            # ---- fused waypoint + pano feature device program ----
+            sample_rng = self._next_rng() if (train and il.waypoint_aug) \
+                else None
+            wp = self.agent.encode_panorama(rgb, depth, sample_rng)
+            pano = self.agent.embed_panorama(
+                {k: wp[k] for k in ("rgb_fts", "dep_fts", "loc_fts",
+                                    "nav_types", "view_masks")})
+            wp_h = {k: np.asarray(wp[k]) for k in
+                    ("cand_valid", "cand_angles", "cand_distances",
+                     "cand_img_idx", "rgb_fts", "dep_fts", "loc_fts",
+                     "nav_types", "view_masks")}
+            pano_embeds = np.asarray(pano["pano_embeds"], np.float32)
+            avg_pano = np.asarray(pano["avg_pano_embeds"], np.float32)
+
+            pos, ori = envs.get_pos_ori()
+
+            # ---- update topological maps (host) ----
+            K = cfg.waypoint.max_predictions
+            for i in range(n):
+                gi = live[i]
+                valid = wp_h["cand_valid"][i]
+                angles = wp_h["cand_angles"][i][valid]
+                dists = wp_h["cand_distances"][i][valid]
+                tok_idx = np.flatnonzero(valid)      # cand slot == token idx
+                cand_embeds = pano_embeds[i][tok_idx]
+                real_pos = None
+                if train:
+                    real_pos = envs.cand_real_pos(i, angles, dists)
+                cur = gmaps[gi].update(
+                    prev_node[gi], stepk + 1, pos[i], ori[i], avg_pano[i],
+                    angles, dists, cand_embeds, tok_idx, stepk,
+                    cand_real_pos=real_pos)
+                if train and real_pos is not None:
+                    # track per-ghost real positions for the spl expert
+                    # (graph_utils.py:225-246 ghost_real_pos): candidate ci
+                    # has token tok_idx[ci]; ghosts record (step, token)
+                    tok_to_ci = {int(t): ci
+                                 for ci, t in enumerate(tok_idx)}
+                    for gid, g in gmaps[gi].ghosts.items():
+                        for (st, tok) in g.provenance:
+                            if st == stepk and tok in tok_to_ci:
+                                lst = ghost_real[gi].setdefault(gid, [])
+                                lst.append(real_pos[tok_to_ci[tok]])
+                prev_node[gi] = cur
+
+            # ---- emit padded graph arrays, batch, score ----
+            emits = []
+            for i in range(n):
+                gi = live[i]
+                cur = prev_node[gi]
+                emits.append(gmaps[gi].emit(cur, pos[i], ori[i], G, Dh))
+            gmap_batch = {
+                "img_fts": np.stack([e["img_fts"] for e in emits]),
+                "step_ids": np.stack([e["step_ids"] for e in emits]),
+                "pos_fts": np.stack([e["pos_fts"] for e in emits]),
+                "mask": np.stack([e["mask"] for e in emits]),
+                "visited": np.stack([e["visited"] for e in emits]),
+                "pair_dists": np.stack([e["pair_dists"] for e in emits]),
+            }
+            # txt embeddings for live envs (original slot order)
+            txt_e = txt_embeds_all[np.asarray(live)]
+            txt_m = txt_masks[np.asarray(live)]
+            nav = self.agent.score_navigation(txt_e, txt_m, gmap_batch)
+            logits = np.asarray(nav["global_logits"], np.float32)
+            probs = _softmax(logits)
+
+            # store stop score of current node (ss_trainer_ETP.py:881-882)
+            for i in range(n):
+                gi = live[i]
+                gmaps[gi].node_stop_scores[prev_node[gi]] = float(
+                    probs[i, 0])
+
+            # ---- teacher actions ----
+            teacher = np.full(n, -100, np.int32)
+            if train:
+                cur_dist = envs.current_dist_to_goal()
+                for i in range(n):
+                    gi = live[i]
+                    teacher[i] = self._teacher_action(
+                        i, gi, gmaps[gi], emits[i], cur_dist[i],
+                        ghost_real[gi], episodes[i], gt_paths)
+
+            # ---- record ----
+            if train:
+                for i in range(n):
+                    gi = live[i]
+                    rec.step_valid[gi, stepk] = True
+                    rec.teacher[gi, stepk] = teacher[i]
+                    rec.vp_rgb[gi, stepk] = wp_h["rgb_fts"][i]
+                    rec.vp_dep[gi, stepk] = wp_h["dep_fts"][i]
+                    rec.vp_loc[gi, stepk] = wp_h["loc_fts"][i]
+                    rec.vp_nav[gi, stepk] = wp_h["nav_types"][i]
+                    rec.vp_mask[gi, stepk] = wp_h["view_masks"][i]
+                    for arr, key in ((rec.gmap_step_ids, "step_ids"),
+                                     (rec.gmap_pos_fts, "pos_fts"),
+                                     (rec.gmap_mask, "mask"),
+                                     (rec.gmap_visited, "visited"),
+                                     (rec.gmap_pair, "pair_dists")):
+                        arr[gi, stepk] = emits[i][key]
+                    self._fill_agg_w(rec.agg_w[gi, stepk], emits[i], P,
+                                     rec.vp_mask[gi])
+
+            # ---- choose actions ----
+            if train:
+                acts = np.empty(n, np.int64)
+                for i in range(n):
+                    if self.np_rng.random() <= sample_ratio:
+                        acts[i] = teacher[i] if teacher[i] >= 0 else 0
+                    else:
+                        acts[i] = self.np_rng.choice(logits.shape[1],
+                                                     p=probs[i])
+            else:
+                acts = logits.argmax(1)
+
+            # ---- build env actions ----
+            env_actions = []
+            for i in range(n):
+                gi = live[i]
+                gmap = gmaps[gi]
+                emit = emits[i]
+                slot = int(acts[i])
+                is_stop = (slot == 0 or stepk == T - 1
+                           or emit["no_ghost_left"])
+                if not is_stop:
+                    kind, idx = emit["slot_list"][slot]
+                    if kind != "ghost":   # visited slots are -inf; safety
+                        is_stop = True
+                if is_stop:
+                    stop_node = int(np.argmax(gmap.node_stop_scores))
+                    back_path = None
+                    if il.back_algo == "control":
+                        back_path = [
+                            (v, gmap.node_pos[v]) for v in
+                            gmap.path(prev_node[gi], stop_node)][1:]
+                    env_actions.append({
+                        "act": 0, "stop_pos": gmap.node_pos[stop_node],
+                        "back_path": back_path, "tryout": il.tryout})
+                else:
+                    gid = idx
+                    _, front = gmap.front_to_ghost(gid)
+                    ghost_pos = gmap.ghosts[gid].aug_pos
+                    back_path = None
+                    if il.back_algo == "control":
+                        back_path = [
+                            (v, gmap.node_pos[v]) for v in
+                            gmap.path(prev_node[gi], front)][1:]
+                    env_actions.append({
+                        "act": 4, "front_pos": gmap.node_pos[front],
+                        "ghost_pos": ghost_pos, "back_path": back_path,
+                        "tryout": il.tryout})
+                    prev_node[gi] = front
+                    gmap.delete_ghost(gid)       # MODEL.consume_ghost
+                    ghost_real[gi].pop(gid, None)
+
+            results = envs.step(env_actions)
+
+            # ---- metrics / path recording on done ----
+            done_local = [i for i, r in enumerate(results) if r.done]
+            if mode == "eval" and stat_eps is not None:
+                for i in done_local:
+                    ep = episodes[i]
+                    info = results[i].info
+                    gt = np.asarray(
+                        gt_paths[ep.episode_id] if gt_paths else
+                        np.stack(ep.reference_path))
+                    stat_eps[ep.episode_id] = episode_metrics(
+                        info["position"]["position"],
+                        info["position"]["distance"], gt,
+                        info["steps_taken"],
+                        info["collisions"]["count"],
+                        il.success_distance)
+            if mode == "infer" and path_eps is not None:
+                for i in done_local:
+                    ep = episodes[i]
+                    info = results[i].info
+                    path = [{"position": info["position_infer"]["position"][0],
+                             "heading": info["position_infer"]["heading"][0],
+                             "stop": False}]
+                    for p, h in zip(info["position_infer"]["position"][1:],
+                                    info["position_infer"]["heading"][1:]):
+                        if p != path[-1]["position"]:
+                            path.append({"position": p, "heading": h,
+                                         "stop": False})
+                    path = path[:500]
+                    path[-1]["stop"] = True
+                    path_eps[ep.episode_id] = {
+                        "path": path, "instruction_id": ep.instruction_id}
+
+            # ---- pause finished envs ----
+            if done_local:
+                for i in reversed(done_local):
+                    envs.pause_at(i)
+                    live.pop(i)
+                    episodes.pop(i)
+                    results.pop(i)
+            if envs.num_envs == 0:
+                break
+            obs_list = [r.observation for r in results]
+
+        return rec
+
+    # ------------------------------------------------------------- helpers
+
+    def _teacher_action(self, live_i: int, gi: int, gmap: TopoMap,
+                        emit: dict, cur_dist: float,
+                        ghost_real: Dict[int, list], episode,
+                        gt_paths) -> int:
+        """_teacher_action_new (ss_trainer_ETP.py:278-306)."""
+        il = self.cfg.il
+        if cur_dist < il.stop_distance:
+            return 0
+        if emit["no_ghost_left"]:
+            return -100
+        slot_of_ghost = {idx: si for si, (k, idx)
+                         in enumerate(emit["slot_list"]) if k == "ghost"}
+        gids = [g for g in slot_of_ghost.keys()]
+        if il.expert_policy == "spl":
+            dists = []
+            for g in gids:
+                positions = ghost_real.get(g)
+                p = (positions[self.np_rng.integers(len(positions))]
+                     if positions else gmap.ghosts[g].aug_pos)
+                dists.append(self.envs.point_dist_to_goal(live_i, p))
+            return slot_of_ghost[gids[int(np.argmin(dists))]]
+        elif il.expert_policy == "ndtw":
+            ref = (np.asarray(gt_paths[episode.episode_id]) if gt_paths
+                   else np.stack(episode.reference_path))
+            gpos = []
+            for g in gids:
+                positions = ghost_real.get(g)
+                gpos.append(positions[self.np_rng.integers(len(positions))]
+                            if positions else gmap.ghosts[g].aug_pos)
+            k = self.envs.ghost_dist_to_ref(live_i, np.stack(gpos), ref)
+            return slot_of_ghost[gids[int(k)]]
+        raise NotImplementedError(il.expert_policy)
+
+    def _fill_agg_w(self, w_slice: np.ndarray, emit: dict, P: int,
+                    vp_mask_all: np.ndarray):
+        """Fill the (G, T*P) aggregation matrix for one recorded step.
+
+        node slot: masked average over its visit-step's valid tokens;
+        ghost slot: mean over its (step, token) provenance entries.
+        """
+        for si, prov in enumerate(emit["provenance"]):
+            if prov is None:
+                continue
+            kind, data = prov
+            if kind == "node":
+                t = data
+                valid = vp_mask_all[t]
+                nval = max(valid.sum(), 1)
+                w_slice[si, t * P: (t + 1) * P][valid] = 1.0 / nval
+            else:
+                entries = data
+                share = 1.0 / len(entries)
+                for (t, tok) in entries:
+                    w_slice[si, t * P + tok] += share
+
+
+def _fit(tokens: np.ndarray, max_len: int, pad_id: int) -> np.ndarray:
+    out = np.full(max_len, pad_id, tokens.dtype)
+    n = min(len(tokens), max_len)
+    out[:n] = tokens[:n]
+    return out
+
+
+def _softmax(x: np.ndarray) -> np.ndarray:
+    m = x.max(axis=1, keepdims=True)
+    e = np.exp(np.clip(x - m, -80, 0))
+    e[~np.isfinite(x)] = 0.0
+    s = e / np.maximum(e.sum(1, keepdims=True), 1e-12)
+    return s

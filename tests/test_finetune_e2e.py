@@ -1,0 +1,82 @@
+"""End-to-end fine-tune slice on the geometric fake env (SURVEY.md §4:
+sim-free integration tests): rollout -> record -> fused learn step ->
+eval metrics -> inference writer."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from etpnav_tpu.config import tiny_config
+from etpnav_tpu.env.geometric import GeometricNavEnv
+from etpnav_tpu.training.finetune import FinetuneTrainer
+
+
+@pytest.fixture(scope="module")
+def trainer():
+    cfg = tiny_config()
+    envs = GeometricNavEnv(
+        num_envs=2, seed=0, vocab_size=cfg.planner.vocab_size,
+        max_instr_len=cfg.il.max_text_len,
+        image_size=cfg.clip.image_size, depth_size=cfg.depth.input_size,
+        pad_id=cfg.planner.pad_token_id)
+    return FinetuneTrainer(cfg, envs, seed=0)
+
+
+def test_train_two_iters_decreases_or_runs(trainer):
+    logs = trainer.train(iters=2)
+    assert "IL_loss" in logs
+    assert np.isfinite(logs["IL_loss"])
+    assert trainer.iteration == 2
+
+
+def test_rollout_record_consistency(trainer):
+    rec = trainer.engine.run("train", sample_ratio=1.0)
+    B, T = rec.step_valid.shape
+    assert rec.step_valid[:, 0].all()          # every env took step 0
+    # aggregation rows: every valid gmap slot (except stop) must have
+    # weights summing to ~1 over recorded pano tokens
+    for b in range(B):
+        for t in range(T):
+            if not rec.step_valid[b, t]:
+                continue
+            mask = rec.gmap_mask[b, t]
+            w = rec.agg_w[b, t]
+            sums = w.sum(-1)
+            # stop slot has zero weights; others sum to 1
+            assert sums[0] == 0
+            np.testing.assert_allclose(sums[mask][1:], 1.0, atol=1e-5)
+            assert (sums[~mask] == 0).all()
+    # teacher indices point at ghost slots or 0/-100
+    valid_t = rec.teacher[rec.step_valid]
+    assert ((valid_t >= -100) & (valid_t < rec.gmap_mask.shape[2])).all()
+
+
+def test_eval_produces_metrics(trainer):
+    stats = trainer.evaluate(episode_count=2)
+    for key in ("success", "spl", "ndtw", "sdtw", "oracle_success",
+                "distance_to_goal", "path_length", "steps_taken"):
+        assert key in stats, key
+    assert 0.0 <= stats["spl"] <= 1.0
+    assert 0.0 <= stats["ndtw"] <= 1.0
+
+
+def test_inference_writes_predictions(trainer, tmp_path):
+    out = tmp_path / "preds.json"
+    trainer.inference(episode_count=2, predictions_file=str(out))
+    data = json.loads(out.read_text())
+    assert len(data) >= 2
+    ep = next(iter(data.values()))
+    assert ep[-1]["stop"] is True
+    assert all(len(p["position"]) == 3 for p in ep)
+
+
+def test_checkpoint_roundtrip(trainer, tmp_path):
+    path = tmp_path / "ckpt_iter2"
+    trainer.save_checkpoint(str(path))
+    before = trainer.params.planner["global_sap_head"]["dense2"]["w"]
+    trainer.load_checkpoint(str(path))
+    after = trainer.params.planner["global_sap_head"]["dense2"]["w"]
+    np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+    assert trainer.iteration == 2

@@ -52,7 +52,8 @@ from etpnav_tpu.ops.basic import (
 # init
 # ---------------------------------------------------------------------------
 
-def init_planner_params(key: jax.Array, cfg: PlannerConfig) -> dict:
+def init_planner_params(key: jax.Array, cfg: PlannerConfig,
+                        use_lang2visn: bool = False) -> dict:
     keys = jax.random.split(key, 12)
     params = {
         "embeddings": bert_embeddings_init(
@@ -83,7 +84,7 @@ def init_planner_params(key: jax.Array, cfg: PlannerConfig) -> dict:
             },
             "gmap_step_embeddings": trunc_normal(
                 keys[7], (cfg.max_action_steps, cfg.hidden_size)),
-            "encoder": _x_stack_init(keys[8], cfg),
+            "encoder": _x_stack_init(keys[8], cfg, use_lang2visn),
         },
         "global_sap_head": _sap_head_init(keys[9], cfg.hidden_size),
     }
@@ -97,21 +98,31 @@ def init_planner_params(key: jax.Array, cfg: PlannerConfig) -> dict:
     return params
 
 
-def _x_layer_init(key: jax.Array, cfg: PlannerConfig) -> dict:
+def _x_layer_init(key: jax.Array, cfg: PlannerConfig,
+                  use_lang2visn: bool = False) -> dict:
     """GraphLXRTXLayer params (vilmodel_cmt.py:365-398):
-    cross-attn + visn self-attn + FFN."""
-    k1, k2, k3 = jax.random.split(key, 3)
-    return {
+    cross-attn + visn self-attn + FFN; pretraining adds the lang branch
+    (lang_self_att + lang FFN) used by forward_lang2visn
+    (pretrain vilmodel.py:400-411)."""
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    params = {
         "visual_attention": self_attention_block_init(k1, cfg.hidden_size),
         "visn_self_att": self_attention_block_init(k2, cfg.hidden_size),
         "visn_ffn": bert_ffn_init(k3, cfg.hidden_size,
                                   cfg.intermediate_size),
     }
+    if use_lang2visn:
+        params["lang_self_att"] = self_attention_block_init(
+            k4, cfg.hidden_size)
+        params["lang_ffn"] = bert_ffn_init(k5, cfg.hidden_size,
+                                           cfg.intermediate_size)
+    return params
 
 
-def _x_stack_init(key: jax.Array, cfg: PlannerConfig) -> dict:
+def _x_stack_init(key: jax.Array, cfg: PlannerConfig,
+                  use_lang2visn: bool = False) -> dict:
     keys = jax.random.split(key, cfg.num_x_layers)
-    layers = [_x_layer_init(k, cfg) for k in keys]
+    layers = [_x_layer_init(k, cfg, use_lang2visn) for k in keys]
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
 
 
@@ -241,6 +252,74 @@ def _x_stack(params: dict, cfg: PlannerConfig, visn: jax.Array,
                             rng=layer_rng, train=train), None
         visn, _ = jax.lax.scan(body, visn, (params, rngs))
     return visn
+
+
+def _lang2visn_layer(layer_params: dict, cfg: PlannerConfig,
+                     lang: jax.Array, visn: jax.Array, lang_bias: jax.Array,
+                     visn_bias: jax.Array, *,
+                     rng: Optional[jax.Array] = None,
+                     train: bool = False) -> jax.Array:
+    """GraphLXRTXLayer.forward_lang2visn (vilmodel_cmt.py:400-411): lang
+    cross-attends into visn (sharing visual_attention weights), then lang
+    self-attn + FFN."""
+    r1, r2, r3 = _split3(rng)
+    dims = _vis_dims(cfg)
+    lang = cross_attention_block(
+        layer_params["visual_attention"], lang, visn, cfg.num_heads,
+        visn_bias, dims.eps, hidden_dropout=dims.hidden_dropout,
+        attn_dropout=dims.attn_dropout, rng=r1, train=train)
+    lang = self_attention_block(
+        layer_params["lang_self_att"], lang, cfg.num_heads, lang_bias,
+        dims.eps, hidden_dropout=dims.hidden_dropout,
+        attn_dropout=dims.attn_dropout, rng=r2, train=train)
+    return bert_ffn(layer_params["lang_ffn"], lang, dims.eps,
+                    hidden_dropout=dims.hidden_dropout, rng=r3, train=train)
+
+
+def lang2visn_stack(params: dict, cfg: PlannerConfig, lang: jax.Array,
+                    visn: jax.Array, lang_bias: jax.Array,
+                    visn_bias: jax.Array, *,
+                    rng: Optional[jax.Array] = None,
+                    train: bool = False) -> jax.Array:
+    """MLM path over the global-encoder x-layers (pretrain
+    vilmodel.py:731-741)."""
+    if rng is None:
+        def body(h, layer_params):
+            return _lang2visn_layer(layer_params, cfg, h, visn, lang_bias,
+                                    visn_bias, train=train), None
+        lang, _ = jax.lax.scan(body, lang, params)
+    else:
+        rngs = jax.random.split(rng, cfg.num_x_layers)
+
+        def body(h, xs):
+            layer_params, layer_rng = xs
+            return _lang2visn_layer(layer_params, cfg, h, visn, lang_bias,
+                                    visn_bias, rng=layer_rng,
+                                    train=train), None
+        lang, _ = jax.lax.scan(body, lang, (params, rngs))
+    return lang
+
+
+def mlm_head_init(key: jax.Array, cfg: PlannerConfig) -> dict:
+    """BertOnlyMLMHead (vilmodel_cmt.py:258-299): transform dense + LN +
+    tied decoder (weights = word embeddings) + output bias."""
+    return {
+        "transform": linear_init(key, cfg.hidden_size, cfg.hidden_size),
+        "ln": ln_init(cfg.hidden_size),
+        "bias": jnp.zeros((cfg.vocab_size,), jnp.float32),
+    }
+
+
+def mlm_head(params: dict, word_embeddings: jax.Array, x: jax.Array,
+             eps: float) -> jax.Array:
+    """x (..., D) -> vocab logits, decoder tied to word embeddings
+    (pretrain_cmt.py:80-83)."""
+    from etpnav_tpu.ops.basic import gelu_erf
+    h = gelu_erf(linear(params["transform"], x))
+    h = layer_norm(h, params["ln"]["scale"], params["ln"]["bias"], eps)
+    logits = jnp.dot(h, word_embeddings.T.astype(h.dtype),
+                     preferred_element_type=jnp.float32)
+    return logits + params["bias"]
 
 
 def sap_head(params: dict, x: jax.Array, eps: float, *,

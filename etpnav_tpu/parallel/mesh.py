@@ -1,0 +1,122 @@
+"""Device mesh + sharding layout (SPMD over ICI).
+
+TPU-native replacement for the reference's NCCL/DDP distribution
+(SURVEY.md §2 parallelism table; ss_trainer_ETP.py:151-213,
+pretrain_src utils/distributed.py): a single jax.sharding.Mesh with axes
+
+- 'dp' : data parallel — batch sharded, gradients psum'd by XLA
+- 'mp' : tensor parallel — attention heads / FFN hidden / vocab table
+         sharded; XLA/GSPMD inserts the all-reduces on ICI
+
+DDP => params replicated over 'dp' + batch split; the reference's
+all-reduce-in-backward becomes an XLA-inserted psum. Tensor parallelism
+(absent in the reference) comes free from the sharding rules below for
+larger deployments.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int = -1, mp: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp == -1:
+        dp = n // mp
+    assert dp * mp == n, f"dp({dp}) * mp({mp}) != devices({n})"
+    arr = np.asarray(devices).reshape(dp, mp)
+    return Mesh(arr, ("dp", "mp"))
+
+
+# ---------------------------------------------------------------------------
+# parameter layout
+# ---------------------------------------------------------------------------
+
+# path-regex -> PartitionSpec for the weight kernel. Everything else
+# (biases of row-sharded layers, LN params) is replicated.
+_KERNEL_RULES = [
+    # FFN: intermediate column-sharded, output row-sharded
+    (re.compile(r"(ffn|visn_ffn|lang_ffn)/intermediate/w$"), P(None, "mp")),
+    (re.compile(r"(ffn|visn_ffn|lang_ffn)/output/dense/w$"), P("mp", None)),
+    (re.compile(r"linear1/w$"), P(None, "mp")),
+    (re.compile(r"linear2/w$"), P("mp", None)),
+    # attention: qkv column-sharded (head dim), out row-sharded
+    (re.compile(r"attn/[qkv]/w$"), P(None, "mp")),
+    (re.compile(r"attn/o/w$"), P("mp", None)),
+    (re.compile(r"out/dense/w$"), P("mp", None)),
+    # vocab-sharded embedding table (big matmul in the MLM head)
+    (re.compile(r"embeddings/word_embeddings$"), P("mp", None)),
+    (re.compile(r"mlm_head/bias$"), P("mp",)),
+    # column-sharded biases
+    (re.compile(r"(ffn|visn_ffn|lang_ffn)/intermediate/b$"), P("mp",)),
+    (re.compile(r"linear1/b$"), P("mp",)),
+    (re.compile(r"attn/[qkv]/b$"), P("mp",)),
+]
+
+
+def param_spec(path: str, ndim: Optional[int] = None) -> P:
+    """Spec for a param; scanned stacks prepend a layer axis, so the rule's
+    spec is left-padded with None up to the leaf rank."""
+    for rule, spec in _KERNEL_RULES:
+        if rule.search(path):
+            if ndim is not None and len(spec) < ndim:
+                spec = P(*([None] * (ndim - len(spec)) + list(spec)))
+            return spec
+    return P()
+
+
+def tree_paths(tree) -> list:
+    paths = []
+    jax.tree_util.tree_map_with_path(
+        lambda kp, _: paths.append("/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)),
+        tree)
+    return paths
+
+
+def param_shardings(mesh: Mesh, params):
+    """NamedSharding pytree for a param tree using the TP layout rules."""
+    def spec_for(kp, leaf):
+        path = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in kp)
+        return NamedSharding(mesh, param_spec(path, np.ndim(leaf)))
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def batch_shardings(mesh: Mesh, batch):
+    """Shard the leading (batch) axis of every array over 'dp'."""
+    return jax.tree_util.tree_map(
+        lambda x: NamedSharding(mesh, P("dp")), batch)
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_params(mesh: Mesh, params):
+    return jax.device_put(params, param_shardings(mesh, params))
+
+
+def shard_batch(mesh: Mesh, batch):
+    return jax.device_put(batch, batch_shardings(mesh, batch))
+
+
+# ---------------------------------------------------------------------------
+# host-side collectives (eval-dict gathers)
+# ---------------------------------------------------------------------------
+
+def all_gather_object(obj, axis_name: str = "dp"):
+    """Multi-host gather of arbitrary python objects
+    (reference all_gather_object, ss_trainer_ETP.py:727-738). On a
+    single-process run this is the identity list."""
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+    return list(multihost_utils.process_allgather(obj))

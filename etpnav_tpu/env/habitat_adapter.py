@@ -1,0 +1,56 @@
+"""Habitat-sim adapter: the production env behind VectorNavEnv.
+
+Capability target: the reference's habitat stack — Sim-v1 wrapper with
+step_without_obs (habitat_extensions/habitat_simulator.py:62-93),
+VLNCEDaggerEnv control/oracles (common/environments.py:44-518), and
+construct_envs scene-sharded worker processes (common/env_utils.py:35-124).
+
+habitat-sim is a host-side C++ dependency that is not present in this
+image; everything here is import-gated. The adapter maps the batched
+VectorNavEnv protocol onto a pool of habitat processes, issuing oracle
+queries in one batch per step instead of per-env round-trips.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def habitat_available() -> bool:
+    try:
+        import habitat            # noqa: F401
+        import habitat_sim        # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def make_habitat_envs(cfg, num_envs: int = 8, split: str = "train",
+                      episodes_allowed: Optional[List[str]] = None):
+    """Build a scene-sharded habitat worker pool (env_utils.py:35-124):
+    scenes split round-robin across workers, each worker filtered to its
+    scene subset, seeds offset per worker."""
+    if not habitat_available():
+        raise RuntimeError(
+            "habitat-sim is not installed; use GeometricNavEnv for "
+            "simulation-free runs or install habitat-sim>=0.1.7")
+    from etpnav_tpu.env.habitat_worker import HabitatVectorEnv
+    return HabitatVectorEnv(cfg, num_envs=num_envs, split=split,
+                            episodes_allowed=episodes_allowed)
+
+
+def shard_scenes(scenes: List[str], num_workers: int) -> List[List[str]]:
+    """Round-robin scene assignment (env_utils.py:89-96): sort scenes by
+    name, deal them out so each worker gets a disjoint subset; workers
+    beyond the scene count share duplicates."""
+    scenes = sorted(scenes)
+    if len(scenes) >= num_workers:
+        shards = [scenes[i::num_workers] for i in range(num_workers)]
+    else:
+        shards = [[scenes[i % len(scenes)]] for i in range(num_workers)]
+    return shards

@@ -1,0 +1,119 @@
+"""CLI entry point: config -> seed -> trainer registry -> train/eval/infer.
+
+Capability target: the reference's run.py:20-113 (argparse, config merge,
+seeding, baseline_registry trainer lookup, mode dispatch).
+
+    python -m etpnav_tpu.run --exp-config cfg.yaml --run-type train \
+        IL.lr=2e-5 MESH.mp=2
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import random
+from typing import Callable, Dict
+
+import numpy as np
+
+logger = logging.getLogger("etpnav_tpu")
+
+TRAINER_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_trainer(name: str):
+    def deco(factory):
+        TRAINER_REGISTRY[name] = factory
+        return factory
+    return deco
+
+
+@register_trainer("SS-ETP")
+def _build_ss_etp(cfg, args):
+    from etpnav_tpu.env.geometric import GeometricNavEnv
+    from etpnav_tpu.env.habitat_adapter import make_habitat_envs, \
+        habitat_available
+    from etpnav_tpu.training.finetune import FinetuneTrainer
+
+    if habitat_available():
+        envs = make_habitat_envs(cfg, num_envs=args.num_envs)
+    else:
+        logger.warning("habitat-sim not available; using GeometricNavEnv")
+        envs = GeometricNavEnv(
+            num_envs=args.num_envs, seed=cfg.seed,
+            vocab_size=cfg.planner.vocab_size,
+            max_instr_len=cfg.il.max_text_len,
+            image_size=cfg.clip.image_size,
+            depth_size=cfg.depth.input_size,
+            pad_id=cfg.planner.pad_token_id)
+    return FinetuneTrainer(cfg, envs, ckpt_dir=args.ckpt_dir, seed=cfg.seed)
+
+
+@register_trainer("Pretrain")
+def _build_pretrain(cfg, args):
+    from etpnav_tpu.data.pretrain_data import PretrainShapes
+    from etpnav_tpu.training.pretrain import PretrainTrainer
+    shapes = PretrainShapes(
+        max_txt_len=cfg.planner.max_txt_len,
+        max_traj_steps=cfg.pretrain.max_traj_steps,
+        num_views=cfg.pretrain.views_per_step,
+        image_feat_size=cfg.planner.image_feat_size,
+        depth_feat_size=cfg.planner.depth_feat_size,
+        vocab_size=cfg.planner.vocab_size,
+        pad_token_id=cfg.planner.pad_token_id)
+    return PretrainTrainer(cfg, shapes, seed=cfg.seed)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description="etpnav_tpu runner")
+    ap.add_argument("--exp-config", required=True)
+    ap.add_argument("--run-type", choices=["train", "eval", "inference"],
+                    default="train")
+    ap.add_argument("--trainer", default="SS-ETP",
+                    choices=sorted(TRAINER_REGISTRY))
+    ap.add_argument("--num-envs", type=int, default=8)
+    ap.add_argument("--ckpt-dir", default="checkpoints")
+    ap.add_argument("--ckpt", default=None, help="checkpoint to load")
+    ap.add_argument("--episode-count", type=int, default=-1)
+    ap.add_argument("--predictions-file", default="predictions.json")
+    ap.add_argument("opts", nargs="*", help="SECTION.key=value overrides")
+    return ap
+
+
+def run(args=None):
+    from etpnav_tpu.config_yaml import load_config, parse_cli_opts
+    args = build_parser().parse_args(args)
+    cfg = load_config(args.exp_config, parse_cli_opts(args.opts))
+
+    random.seed(cfg.seed)
+    np.random.seed(cfg.seed)
+    logging.basicConfig(level=logging.INFO)
+
+    trainer = TRAINER_REGISTRY[args.trainer](cfg, args)
+    if args.ckpt:
+        trainer.load_checkpoint(args.ckpt)
+
+    if args.run_type == "train":
+        if hasattr(trainer, "train_steps"):   # pretrain
+            logs = trainer.train_steps(cfg.pretrain.num_train_steps)
+        else:
+            logs = trainer.train()
+            os.makedirs(args.ckpt_dir, exist_ok=True)
+            trainer.save_checkpoint(os.path.join(
+                args.ckpt_dir, f"ckpt_iter{trainer.iteration}"))
+        logger.info("train done: %s", logs)
+        return logs
+    elif args.run_type == "eval":
+        n = args.episode_count if args.episode_count > 0 else 100
+        stats = trainer.evaluate(n)
+        logger.info("eval: %s", stats)
+        return stats
+    else:
+        n = args.episode_count if args.episode_count > 0 else 100
+        return trainer.inference(n, args.predictions_file,
+                                 fmt=cfg.task_type)
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,130 @@
+"""CLI entry, YAML config, episode datasets, obs transforms."""
+
+import dataclasses
+import gzip
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from etpnav_tpu.config_yaml import config_from_dict, load_config, \
+    parse_cli_opts
+from etpnav_tpu.data.episodes import (
+    load_gt_paths,
+    load_r2r_episodes,
+    load_rxr_episodes,
+    shard_episodes_by_scene,
+)
+from etpnav_tpu.ops.image import apply_obs_transforms, center_crop_batch, \
+    resize_batch
+
+
+def test_config_from_dict_and_overrides(tmp_path):
+    y = tmp_path / "exp.yaml"
+    y.write_text(
+        "BASE: r2r\nIL: {lr: 2.0e-5, iters: 10}\nMESH: {mp: 2}\n")
+    cfg = load_config(str(y), parse_cli_opts(["IL.iters=5",
+                                              "PLANNER.max_txt_len=64"]))
+    assert cfg.il.lr == 2e-5
+    assert cfg.il.iters == 5
+    assert cfg.mesh.mp == 2
+    assert cfg.planner.max_txt_len == 64
+
+
+def test_config_rejects_unknown_keys():
+    with pytest.raises(KeyError):
+        config_from_dict({"IL": {"nonexistent_key": 1}})
+    with pytest.raises(KeyError):
+        config_from_dict({"NOT_A_SECTION": {}})
+
+
+def test_rxr_preset_differs():
+    cfg = config_from_dict({"BASE": "rxr"})
+    assert cfg.planner.vocab_size == 250002
+    assert cfg.planner.pad_token_id == 1
+    assert cfg.il.expert_policy == "ndtw"
+
+
+def _write_gz(path, payload):
+    with gzip.open(path, "wt") as f:
+        json.dump(payload, f)
+
+
+def test_r2r_episode_loading(tmp_path):
+    eps = {"episodes": [
+        {"episode_id": i, "scene_id": f"scene{i % 2}",
+         "start_position": [0, 0, 0],
+         "start_rotation": [0, 0, 0, 1],
+         "goals": [{"position": [1, 0, 1]}],
+         "instruction": {"instruction_text": "go",
+                         "instruction_tokens": [5, 6, 7]},
+         "reference_path": [[0, 0, 0], [1, 0, 1]]}
+        for i in range(4)]}
+    p = tmp_path / "train.json.gz"
+    _write_gz(p, eps)
+    out = load_r2r_episodes(str(p), max_instr_len=8)
+    assert len(out) == 4
+    assert out[0].instruction_tokens.tolist() == [5, 6, 7, 0, 0, 0, 0, 0]
+    out2 = load_r2r_episodes(str(p), episodes_allowed=["1", "3"])
+    assert [e.episode_id for e in out2] == ["1", "3"]
+    shards = shard_episodes_by_scene(out, 2)
+    assert len(shards) == 2
+    assert {e.scene_id for e in shards[0]}.isdisjoint(
+        {e.scene_id for e in shards[1]})
+
+
+def test_rxr_episode_loading(tmp_path):
+    eps = {"episodes": [
+        {"episode_id": 7, "scene_id": "s",
+         "start_position": [0, 0, 0], "start_rotation": [0, 0, 0, 1],
+         "goals": [{"position": [1, 0, 1]}],
+         "instruction": {"instruction_text": "va", "language": "es-ES",
+                         "instruction_id": "42",
+                         "instruction_tokens": [9, 9]},
+         "reference_path": []}]}
+    p = tmp_path / "val_guide.json.gz"
+    _write_gz(p, eps)
+    out = load_rxr_episodes(str(p), languages=("es",), max_instr_len=4)
+    assert len(out) == 1 and out[0].instruction_id == 42
+    assert out[0].instruction_tokens.tolist() == [9, 9, 1, 1]
+    assert load_rxr_episodes(str(p), languages=("en",)) == []
+
+
+def test_gt_paths(tmp_path):
+    p = tmp_path / "gt.json.gz"
+    _write_gz(p, {"3": {"locations": [[0, 0, 0], [1, 1, 1]]}})
+    gt = load_gt_paths(str(p))
+    assert gt["3"].shape == (2, 3)
+
+
+def test_obs_transforms():
+    rgb = jnp.zeros((2, 3, 256, 341, 3), jnp.uint8)
+    dep = jnp.zeros((2, 3, 256, 256, 1), jnp.float32)
+    out = apply_obs_transforms({"rgb": rgb, "depth": dep})
+    assert out["rgb"].shape == (2, 3, 224, 224, 3)
+    assert out["rgb"].dtype == jnp.uint8
+    assert out["depth"].shape == (2, 3, 128, 128, 1)
+    # identity when already sized
+    same = apply_obs_transforms(out)
+    assert same["rgb"] is out["rgb"]
+
+
+def test_resize_and_crop_values():
+    img = jnp.arange(16, dtype=jnp.float32).reshape(1, 4, 4, 1)
+    up = resize_batch(img, (8, 8))
+    assert up.shape == (1, 8, 8, 1)
+    crop = center_crop_batch(up, (4, 4))
+    assert crop.shape == (1, 4, 4, 1)
+
+
+def test_cli_train_tiny(tmp_path, monkeypatch):
+    from etpnav_tpu import run as run_mod
+    y = tmp_path / "exp.yaml"
+    y.write_text("BASE: tiny\nIL: {iters: 1}\n")
+    logs = run_mod.run([
+        "--exp-config", str(y), "--run-type", "train",
+        "--num-envs", "2", "--ckpt-dir", str(tmp_path / "ck")])
+    assert "IL_loss" in logs
+    import glob
+    assert glob.glob(str(tmp_path / "ck" / "ckpt_iter*"))

@@ -96,9 +96,13 @@ class TopoMap:
         self._dist, self._hops, self._next = d, h, nx
 
     def add_edge(self, u: int, v: int, w: float):
-        """Relax APSP through a new/updated edge. Vectorized O(V^2)."""
+        """Relax APSP through a new/updated edge. Native C++ core when
+        available (native/topo_core.cpp), else vectorized numpy O(V^2)."""
         D, H, Nx = self._dist, self._hops, self._next
         if w >= D[u, v]:
+            return
+        from etpnav_tpu import native
+        if native.apsp_relax_edge(D, H, Nx, u, v, float(w)):
             return
         for (a, b) in ((u, v), (v, u)):
             # dist through a->b for all pairs (i, j): D[i,a] + w + D[b,j]
@@ -325,10 +329,15 @@ class TopoMap:
             elif kind == "ghost":
                 fd, fn = front_cache[idx]
                 anchors[si], offsets[si] = fn, fd
-        block = (offsets[1:, None] + offsets[None, 1:]
-                 + self._dist[np.ix_(anchors[1:], anchors[1:])])
-        np.fill_diagonal(block, 0.0)
-        pair[1:n_slots, 1:n_slots] = block / MAX_DIST
+        from etpnav_tpu import native
+        block = native.pairwise_assemble(self._dist, anchors[1:],
+                                         offsets[1:], MAX_DIST)
+        if block is None:
+            block = (offsets[1:, None] + offsets[None, 1:]
+                     + self._dist[np.ix_(anchors[1:], anchors[1:])])
+            np.fill_diagonal(block, 0.0)
+            block = block / MAX_DIST
+        pair[1:n_slots, 1:n_slots] = block
 
         provenance = []
         for kind, idx in slots:

@@ -18,9 +18,15 @@ SUCCESS_DISTANCE = 3.0
 
 
 def dtw(a: np.ndarray, b: np.ndarray) -> float:
-    """Exact DTW with Euclidean point distance."""
+    """Exact DTW with Euclidean point distance. Uses the native C++ core
+    when available (native/topo_core.cpp)."""
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
+    if a.ndim == 2 and a.shape[1] == 3 and b.ndim == 2 and b.shape[1] == 3:
+        from etpnav_tpu import native
+        res = native.dtw(a, b)
+        if res is not None:
+            return res
     n, m = len(a), len(b)
     # pairwise distances (N, M), vectorized
     d = np.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1)

@@ -1,0 +1,92 @@
+"""Fused biased attention: interpret-mode parity with the XLA path and
+custom-VJP gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from etpnav_tpu.ops.pallas_attention import (
+    _attention_xla,
+    fused_bias_attention,
+)
+
+
+def _rand(rng, *shape):
+    return rng.standard_normal(shape).astype(np.float32)
+
+
+@pytest.mark.parametrize("B,H,Lq,Lk,hd", [(2, 4, 16, 16, 32),
+                                          (1, 2, 8, 24, 16)])
+def test_fused_matches_xla(rng, B, H, Lq, Lk, hd):
+    q = jnp.asarray(_rand(rng, B, H, Lq, hd))
+    k = jnp.asarray(_rand(rng, B, H, Lk, hd))
+    v = jnp.asarray(_rand(rng, B, H, Lk, hd))
+    bias = jnp.asarray(_rand(rng, B, Lq, Lk)) * 3
+    scale = 1.0 / np.sqrt(hd)
+    ours = fused_bias_attention(q, k, v, bias, scale, True)
+    ref = _attention_xla(q, k, v, bias, scale)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5)
+
+
+def test_fused_handles_masked_rows(rng):
+    B, H, L, hd = 1, 2, 8, 16
+    q = jnp.asarray(_rand(rng, B, H, L, hd))
+    k = jnp.asarray(_rand(rng, B, H, L, hd))
+    v = jnp.asarray(_rand(rng, B, H, L, hd))
+    bias = jnp.full((B, L, L), -10000.0)   # everything masked
+    out = fused_bias_attention(q, k, v, bias, 0.25, True)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_fused_gradients_match_xla(rng):
+    B, H, L, hd = 1, 2, 8, 16
+    q = jnp.asarray(_rand(rng, B, H, L, hd))
+    k = jnp.asarray(_rand(rng, B, H, L, hd))
+    v = jnp.asarray(_rand(rng, B, H, L, hd))
+    bias = jnp.asarray(_rand(rng, B, L, L))
+    scale = 0.25
+
+    def loss_fused(q, k, v, bias):
+        return fused_bias_attention(q, k, v, bias, scale, True).sum()
+
+    def loss_xla(q, k, v, bias):
+        return _attention_xla(q, k, v, bias, scale).sum()
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_mha_fused_path_matches_default(rng):
+    """Force the fused path through the public mha() and compare."""
+    from etpnav_tpu.ops import attention as attn_mod
+    from etpnav_tpu.ops.attention import mha, mha_init
+    from etpnav_tpu.ops.basic import mask_to_bias
+
+    D, H, B, L = 32, 4, 2, 10
+    params = mha_init(jax.random.PRNGKey(0), D)
+    x = jnp.asarray(_rand(rng, B, L, D))
+    mask = np.ones((B, L), bool)
+    mask[0, 6:] = False
+    bias = mask_to_bias(jnp.asarray(mask))[:, None, None, :]
+
+    ref = mha(params, x, x, H, bias)
+    # patch pallas to interpret mode for CPU execution
+    import etpnav_tpu.ops.pallas_attention as pa
+    orig = pa.fused_bias_attention
+
+    def interp(q, k, v, b, scale, interpret=False):
+        return orig(q, k, v, b, scale, True)
+
+    attn_mod.USE_FUSED_ATTENTION = True
+    pa_fused, pa.fused_bias_attention = pa.fused_bias_attention, interp
+    try:
+        fused = mha(params, x, x, H, bias)
+    finally:
+        attn_mod.USE_FUSED_ATTENTION = None
+        pa.fused_bias_attention = pa_fused
+    np.testing.assert_allclose(np.asarray(fused)[mask],
+                               np.asarray(ref)[mask], atol=2e-5)

@@ -92,6 +92,7 @@ class GeometricNavEnv:
         self._positions_log: List[List[np.ndarray]] = [
             [] for _ in range(num_envs)]
         self._heading_log: List[List[float]] = [[] for _ in range(num_envs)]
+        self._path_progress = [0] * num_envs
 
     # ------------------------------------------------------------------ mgmt
 
@@ -156,6 +157,7 @@ class GeometricNavEnv:
             self._steps_taken[g] = 0
             self._positions_log[g] = [self._pos[g].copy()]
             self._heading_log[g] = [float(self._heading[g])]
+            self._path_progress[g] = 0
             obs.append(self._observation(g))
         return obs
 
@@ -296,6 +298,55 @@ class GeometricNavEnv:
             info = self._info(g) if done else {}
             results.append(StepResult(self._observation(g), done, info))
         return results
+
+    # ---- low-level discrete API (legacy CMA/DAgger path,
+    # habitat STOP/MOVE_FORWARD/TURN_LEFT/TURN_RIGHT) ----
+
+    LOW_STOP, LOW_FWD, LOW_LEFT, LOW_RIGHT = 0, 1, 2, 3
+
+    def step_low_level(self, actions: Sequence[int]) -> List[StepResult]:
+        results = []
+        for li, a in enumerate(actions):
+            g = self._live[li]
+            done = False
+            if a == self.LOW_STOP:
+                done = True
+            elif a == self.LOW_FWD:
+                self._forward_once(g)
+            elif a == self.LOW_LEFT:
+                self._turn(g, math.radians(TURN_DEG))
+            elif a == self.LOW_RIGHT:
+                self._turn(g, math.radians(-TURN_DEG))
+            else:
+                raise NotImplementedError(a)
+            info = self._info(g) if done else {}
+            results.append(StepResult(self._observation(g), done, info))
+        return results
+
+    def shortest_path_action(self, env_idx: int,
+                             goal_radius: float = 0.5) -> int:
+        """Shortest-path-follower teacher for the low-level action space
+        (the reference's ShortestPathSensor oracle,
+        habitat_extensions/sensors.py:70-113). Tracks per-episode path
+        progress and steers toward the next unreached reference point."""
+        g = self._live[env_idx]
+        ep = self._episodes[g]
+        pos = self._pos[g]
+        if np.linalg.norm(ep.goal_position - pos) < goal_radius * 2:
+            return self.LOW_STOP
+        ref = ep.reference_path
+        prog = self._path_progress[g]
+        while (prog < len(ref) - 1
+               and np.linalg.norm(ref[prog] - pos) < goal_radius):
+            prog += 1
+        self._path_progress[g] = prog
+        target = ref[prog]
+        rel, _ = self._rel_angle_dist(g, np.asarray(target))
+        if rel > math.pi:
+            rel -= 2 * math.pi
+        if abs(rel) <= math.radians(TURN_DEG):
+            return self.LOW_FWD
+        return self.LOW_LEFT if rel > 0 else self.LOW_RIGHT
 
     def _info(self, g: int) -> dict:
         ep = self._episodes[g]

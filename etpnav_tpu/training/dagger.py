@@ -1,0 +1,300 @@
+"""Legacy DAgger trainer for the CMA low-level policy.
+
+Capability target: vlnce_baselines/dagger_trainer.py:187-629 — beta-
+scheduled DAgger: collect rollouts with an expert/policy mixture, persist
+(features, teacher-action) steps to an on-disk store, then run supervised
+epochs over the store — plus the simulator-replay variant
+(common/recollection_dataset.py:22). The reference's lmdb+msgpack capture
+(dagger_trainer.py:373-419, fp16 via forward hooks) becomes a sharded
+msgpack store of the *frozen encoder features* (the same quantity its
+hooks captured), written by the single trainer process.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Dict, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from etpnav_tpu.models import cma
+from etpnav_tpu.models.cma import CMAConfig
+
+
+# ---------------------------------------------------------------------------
+# feature store (lmdb replacement)
+# ---------------------------------------------------------------------------
+
+class TrajectoryStore:
+    """Sharded msgpack trajectory store. One shard file per flush; values
+    are dicts of float16 arrays like the reference's fp16 lmdb records
+    (dagger_trainer.py:388-419)."""
+
+    def __init__(self, path: str, flush_every: int = 64):
+        import msgpack
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self.flush_every = flush_every
+        self._pending: List[dict] = []
+        self._count = len(self.shard_files())
+
+    def shard_files(self) -> List[str]:
+        return sorted(
+            os.path.join(self.path, f) for f in os.listdir(self.path)
+            if f.endswith(".msg"))
+
+    def append(self, traj: Dict[str, np.ndarray]):
+        self._pending.append(
+            {k: (np.asarray(v).astype(np.float16).tobytes()
+                 if np.asarray(v).dtype.kind == "f"
+                 else np.asarray(v).tobytes(),
+                 np.asarray(v).dtype.str if np.asarray(v).dtype.kind != "f"
+                 else np.dtype(np.float16).str,
+                 np.asarray(v).shape) for k, v in traj.items()})
+        if len(self._pending) >= self.flush_every:
+            self.flush()
+
+    def flush(self):
+        if not self._pending:
+            return
+        import msgpack
+        fname = os.path.join(self.path, f"shard{self._count:06d}.msg")
+        with open(fname, "wb") as f:
+            f.write(msgpack.packb(self._pending, use_bin_type=True))
+        self._count += 1
+        self._pending = []
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        import msgpack
+        for fname in self.shard_files():
+            with open(fname, "rb") as f:
+                shard = msgpack.unpackb(f.read(), raw=False)
+            for rec in shard:
+                yield {k: np.frombuffer(buf, np.dtype(dt)).reshape(shape)
+                       for k, (buf, dt, shape) in rec.items()}
+
+    def __len__(self) -> int:
+        return sum(1 for _ in self)
+
+
+# ---------------------------------------------------------------------------
+# trainer
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class DaggerConfig:
+    iterations: int = 3            # DAgger outer iterations
+    episodes_per_iter: int = 8
+    epochs: int = 2                # supervised epochs per iteration
+    batch_size: int = 4
+    lr: float = 2.5e-4
+    p: float = 0.75                # beta = p ** iteration (dagger_trainer)
+    max_steps: int = 60
+    preload_size: int = 1024
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tx"))
+def _cma_update(params, opt_state, cfg: CMAConfig, tx, tokens, rgb, dep,
+                teacher, step_mask):
+    """Supervised CE over a batch of trajectories (B, T, ...)."""
+    def loss_fn(params):
+        instr, imask = cma.encode_instruction(params, cfg, tokens)
+        B, T = teacher.shape
+
+        def step(state, xs):
+            rgb_t, dep_t = xs
+            logits, state = cma.cma_step(params, cfg, instr, imask,
+                                         rgb_t, dep_t, state)
+            return state, logits
+
+        _, logits = jax.lax.scan(
+            step, cma.initial_state(cfg, B),
+            (rgb.transpose(1, 0, 2), dep.transpose(1, 0, 2)))
+        logits = logits.transpose(1, 0, 2)            # (B, T, 4)
+        logp = jax.nn.log_softmax(logits, -1)
+        nll = -jnp.take_along_axis(
+            logp, teacher[..., None], axis=-1)[..., 0]
+        return jnp.where(step_mask, nll, 0.0).sum() \
+            / jnp.maximum(step_mask.sum(), 1)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), opt_state, loss
+
+
+class DaggerTrainer:
+    """beta-scheduled DAgger over the low-level action space."""
+
+    def __init__(self, envs, cma_cfg: CMAConfig, dagger_cfg: DaggerConfig,
+                 feature_fn, store_dir: str, seed: int = 0):
+        """feature_fn(obs_batch) -> (rgb_feat (B, Dr), dep_feat (B, Dd)):
+        typically the frozen CLIP/depth encoders pooled over the forward
+        view (the reference captures these with forward hooks,
+        dagger_trainer.py:255-266)."""
+        self.envs = envs
+        self.cfg = cma_cfg
+        self.dcfg = dagger_cfg
+        self.feature_fn = feature_fn
+        self.store = TrajectoryStore(store_dir)
+        self.params = cma.init_cma_params(jax.random.PRNGKey(seed), cma_cfg)
+        self.tx = optax.adam(dagger_cfg.lr)
+        self.opt_state = self.tx.init(self.params)
+        self.rng = np.random.default_rng(seed)
+        self._jit_step = jax.jit(functools.partial(cma.cma_step, cfg=cma_cfg))
+        self._jit_instr = jax.jit(functools.partial(cma.encode_instruction,
+                                                    cfg=cma_cfg))
+
+    # ---- collection (dagger_trainer.py:233-419) ----
+
+    def collect(self, beta: float, episodes: int):
+        envs = self.envs
+        collected = 0
+        while collected < episodes:
+            envs.resume_all()
+            obs = envs.reset()
+            B = envs.num_envs
+            tokens = np.stack([o["instruction"] for o in obs])
+            instr, imask = self._jit_instr(self.params, tokens=tokens)
+            state = cma.initial_state(self.cfg, B)
+            trajs = [dict(tokens=tokens[i], rgb=[], dep=[], teacher=[])
+                     for i in range(B)]
+            live = list(range(B))
+
+            for _ in range(self.dcfg.max_steps):
+                n = envs.num_envs
+                rgb_f, dep_f = self.feature_fn(obs)
+                teach = np.array([envs.shortest_path_action(i)
+                                  for i in range(n)])
+                logits, state = self._jit_step(
+                    self.params, instr_feats=instr[np.asarray(live)],
+                    instr_mask=imask[np.asarray(live)],
+                    rgb_feat=jnp.asarray(rgb_f),
+                    dep_feat=jnp.asarray(dep_f), state=state)
+                probs = np.asarray(jax.nn.softmax(logits, -1))
+                acts = np.where(
+                    self.rng.random(n) < beta, teach,
+                    np.array([self.rng.choice(4, p=probs[i])
+                              for i in range(n)]))
+                for i in range(n):
+                    t = trajs[live[i]]
+                    t["rgb"].append(rgb_f[i])
+                    t["dep"].append(dep_f[i])
+                    t["teacher"].append(int(teach[i]))
+                results = envs.step_low_level(list(acts))
+                done_local = [i for i, r in enumerate(results) if r.done]
+                for i in reversed(done_local):
+                    envs.pause_at(i)
+                    live.pop(i)
+                    results.pop(i)
+                    state = jnp.delete(state, i, axis=0)
+                if envs.num_envs == 0:
+                    break
+                obs = [r.observation for r in results]
+
+            for t in trajs:
+                if t["rgb"]:
+                    self.store.append({
+                        "tokens": t["tokens"],
+                        "rgb": np.stack(t["rgb"]),
+                        "dep": np.stack(t["dep"]),
+                        "teacher": np.asarray(t["teacher"], np.int32),
+                    })
+                    collected += 1
+        self.store.flush()
+
+    # ---- supervised update (dagger_trainer.py:421-533) ----
+
+    def update(self, epochs: Optional[int] = None) -> float:
+        epochs = epochs or self.dcfg.epochs
+        trajs = list(self.store)
+        if not trajs:
+            return float("nan")
+        T = max(len(t["teacher"]) for t in trajs)
+        losses = []
+        for _ in range(epochs):
+            order = self.rng.permutation(len(trajs))
+            for s in range(0, len(order), self.dcfg.batch_size):
+                batch = [trajs[i] for i in order[s:s + self.dcfg.batch_size]]
+                B = len(batch)
+                tokens = np.stack([b["tokens"] for b in batch])
+                rgb = np.zeros((B, T, batch[0]["rgb"].shape[-1]),
+                               np.float32)
+                dep = np.zeros((B, T, batch[0]["dep"].shape[-1]),
+                               np.float32)
+                teach = np.zeros((B, T), np.int32)
+                mask = np.zeros((B, T), bool)
+                for i, b in enumerate(batch):
+                    n = len(b["teacher"])
+                    rgb[i, :n] = b["rgb"]
+                    dep[i, :n] = b["dep"]
+                    teach[i, :n] = b["teacher"]
+                    mask[i, :n] = True
+                self.params, self.opt_state, loss = _cma_update(
+                    self.params, self.opt_state, self.cfg, self.tx,
+                    jnp.asarray(tokens), jnp.asarray(rgb),
+                    jnp.asarray(dep), jnp.asarray(teach),
+                    jnp.asarray(mask))
+                losses.append(float(loss))
+        return float(np.mean(losses))
+
+    def train(self) -> List[float]:
+        """DAgger outer loop: beta = p ** iteration
+        (dagger_trainer.py:535-629)."""
+        losses = []
+        for it in range(self.dcfg.iterations):
+            beta = self.dcfg.p ** it
+            self.collect(beta, self.dcfg.episodes_per_iter)
+            losses.append(self.update())
+        return losses
+
+
+class TeacherRecollectionSampler:
+    """Simulator-replay alternative to the disk store
+    (common/recollection_dataset.py:22-297): regenerates teacher
+    trajectories on the fly, no persistence."""
+
+    def __init__(self, envs, feature_fn, max_steps: int = 60):
+        self.envs = envs
+        self.feature_fn = feature_fn
+        self.max_steps = max_steps
+
+    def __iter__(self):
+        while True:
+            self.envs.resume_all()
+            obs = self.envs.reset()
+            B = self.envs.num_envs
+            trajs = [dict(tokens=o["instruction"], rgb=[], dep=[],
+                          teacher=[]) for o in obs]
+            live = list(range(B))
+            for _ in range(self.max_steps):
+                n = self.envs.num_envs
+                rgb_f, dep_f = self.feature_fn(obs)
+                teach = [self.envs.shortest_path_action(i)
+                         for i in range(n)]
+                for i in range(n):
+                    t = trajs[live[i]]
+                    t["rgb"].append(rgb_f[i])
+                    t["dep"].append(dep_f[i])
+                    t["teacher"].append(teach[i])
+                results = self.envs.step_low_level(teach)
+                done = [i for i, r in enumerate(results) if r.done]
+                for i in reversed(done):
+                    self.envs.pause_at(i)
+                    live.pop(i)
+                    results.pop(i)
+                if self.envs.num_envs == 0:
+                    break
+                obs = [r.observation for r in results]
+            for t in trajs:
+                if t["rgb"]:
+                    yield {
+                        "tokens": np.asarray(t["tokens"]),
+                        "rgb": np.stack(t["rgb"]),
+                        "dep": np.stack(t["dep"]),
+                        "teacher": np.asarray(t["teacher"], np.int32),
+                    }

@@ -1,0 +1,93 @@
+"""Legacy CMA/DAgger path: policy step, trajectory store roundtrip,
+full DAgger loop on the geometric env, recollection sampler."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from etpnav_tpu.env.geometric import GeometricNavEnv
+from etpnav_tpu.models import cma
+from etpnav_tpu.models.cma import CMAConfig
+from etpnav_tpu.training.dagger import (
+    DaggerConfig,
+    DaggerTrainer,
+    TeacherRecollectionSampler,
+    TrajectoryStore,
+)
+
+CFG = CMAConfig(vocab_size=128, embed_dim=16, hidden_dim=32, rgb_dim=8,
+                depth_dim=4)
+
+
+def _feature_fn(obs):
+    """Cheap stand-in for frozen encoders: pooled pixels."""
+    rgb = np.stack([o["rgb"][0].mean((0, 1)) for o in obs])
+    dep = np.stack([o["depth"][0].mean((0, 1)) for o in obs])
+    rgb = np.tile(rgb, (1, 3))[:, :8].astype(np.float32)
+    dep = np.tile(dep, (1, 4))[:, :4].astype(np.float32)
+    return rgb, dep
+
+
+def _envs(n=2):
+    return GeometricNavEnv(num_envs=n, seed=0, vocab_size=CFG.vocab_size,
+                           max_instr_len=12, image_size=16, depth_size=16)
+
+
+def test_cma_step_shapes(rng):
+    params = cma.init_cma_params(jax.random.PRNGKey(0), CFG)
+    tokens = jnp.asarray(rng.integers(1, CFG.vocab_size, (3, 12)))
+    instr, mask = cma.encode_instruction(params, CFG, tokens)
+    assert instr.shape == (3, 12, CFG.hidden_dim)
+    state = cma.initial_state(CFG, 3)
+    logits, state2 = cma.cma_step(
+        params, CFG, instr, mask,
+        jnp.asarray(rng.standard_normal((3, 8)), jnp.float32),
+        jnp.asarray(rng.standard_normal((3, 4)), jnp.float32), state)
+    assert logits.shape == (3, 4)
+    assert not np.allclose(np.asarray(state2), 0)
+
+
+def test_trajectory_store_roundtrip(tmp_path):
+    store = TrajectoryStore(str(tmp_path / "store"), flush_every=2)
+    t1 = {"tokens": np.arange(5), "rgb": np.ones((3, 8), np.float32),
+          "teacher": np.asarray([1, 2, 0], np.int32)}
+    store.append(t1)
+    store.flush()
+    back = list(store)
+    assert len(back) == 1
+    np.testing.assert_array_equal(back[0]["tokens"], t1["tokens"])
+    np.testing.assert_array_equal(back[0]["teacher"], t1["teacher"])
+    assert back[0]["rgb"].dtype == np.float16
+
+
+def test_low_level_env_teacher_reaches_goal():
+    envs = _envs(1)
+    obs = envs.reset()
+    for _ in range(200):
+        a = envs.shortest_path_action(0)
+        res = envs.step_low_level([a])
+        if res[0].done:
+            break
+    assert res[0].done
+    assert res[0].info["position"]["distance"][-1] < 1.5
+
+
+def test_dagger_train_loop(tmp_path):
+    envs = _envs(2)
+    dcfg = DaggerConfig(iterations=2, episodes_per_iter=2, epochs=1,
+                        batch_size=2, max_steps=30)
+    tr = DaggerTrainer(envs, CFG, dcfg, _feature_fn,
+                       str(tmp_path / "store"), seed=0)
+    losses = tr.train()
+    assert len(losses) == 2
+    assert all(np.isfinite(l) for l in losses)
+    assert len(tr.store.shard_files()) >= 1
+
+
+def test_recollection_sampler():
+    envs = _envs(2)
+    it = iter(TeacherRecollectionSampler(envs, _feature_fn, max_steps=30))
+    traj = next(it)
+    assert traj["rgb"].shape[0] == traj["teacher"].shape[0]
+    assert traj["teacher"][-1] == 0 or traj["rgb"].shape[0] == 30

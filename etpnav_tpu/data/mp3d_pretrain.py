@@ -1,0 +1,246 @@
+"""Real-data pretraining source: MP3D annotation files + precomputed
+HDF5 features + connectivity graphs.
+
+Capability target: R2RTextPathData (pretrain_src data/dataset.py:360-525)
+— anno json/jsonl trajectories over MP3D scans, HDF5 CLIP/depth feature
+stores, connectivity-graph APSP — emitting the SAME fixed-shape batch
+layout as the synthetic PretrainSampler so training/pretrain.py is
+data-source agnostic.
+
+Everything is file-gated: instantiate only when the reference's data
+artifacts are present (anno files, img/dep HDF5, connectivity dir).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from etpnav_tpu.data.feature_pipeline import HDF5FeatureStore, \
+    load_connectivity
+from etpnav_tpu.data.pretrain_data import PretrainShapes
+from etpnav_tpu.graph.geometry import angle_features
+
+MAX_DIST = 30.0
+MAX_STEP = 10.0
+
+
+class ScanGraph:
+    """Connectivity graph of one scan with APSP (data/common.py:71)."""
+
+    def __init__(self, connectivity_dir: str, scan: str):
+        conn = load_connectivity(connectivity_dir, scan)
+        self.vp_ids = sorted(conn)
+        self.index = {vp: i for i, vp in enumerate(self.vp_ids)}
+        n = len(self.vp_ids)
+        self.pos = np.stack([conn[vp]["position"] for vp in self.vp_ids])
+        dist = np.full((n, n), 1e9)
+        np.fill_diagonal(dist, 0.0)
+        self.adj: List[List[int]] = [[] for _ in range(n)]
+        for i, vp in enumerate(self.vp_ids):
+            unob = conn[vp]["unobstructed"]
+            for j, ok in enumerate(unob):
+                if ok and j < n and j != i:
+                    d = float(np.linalg.norm(self.pos[i] - self.pos[j]))
+                    dist[i, j] = min(dist[i, j], d)
+                    self.adj[i].append(j)
+        hops = np.where(dist < 1e8, 1, 10**6).astype(np.int64)
+        np.fill_diagonal(hops, 0)
+        for k in range(n):
+            via = dist[:, k][:, None] + dist[k, :][None, :]
+            hvia = hops[:, k][:, None] + hops[k, :][None, :]
+            better = via < dist
+            dist = np.where(better, via, dist)
+            hops = np.where(better, hvia, hops)
+        self.dist, self.hops = dist, hops
+
+
+def load_annotations(anno_files: List[str], max_txt_len: int
+                     ) -> List[dict]:
+    """R2R-style pretraining annotations: items with scan, path (vp ids),
+    heading, instr_encoding (dataset.py:408-420)."""
+    out = []
+    for path in anno_files:
+        with open(path) as f:
+            data = json.load(f)
+        for item in data:
+            out.append({
+                "scan": item["scan"],
+                "path": item["path"],
+                "heading": item.get("heading", 0.0),
+                "instr_encoding": np.asarray(
+                    item["instr_encoding"][:max_txt_len], np.int64),
+                "instr_id": item.get("instr_id", ""),
+            })
+    return out
+
+
+class MP3DTrajectoryData:
+    """Drop-in replacement for PretrainSampler backed by real artifacts."""
+
+    def __init__(self, shapes: PretrainShapes, anno_files: List[str],
+                 img_ft_file: str, dep_ft_file: str,
+                 connectivity_dir: str, seed: int = 0):
+        self.sh = shapes
+        self.rng = np.random.default_rng(seed)
+        self.data = load_annotations(anno_files, shapes.max_txt_len)
+        self.img_store = HDF5FeatureStore(img_ft_file)
+        self.dep_store = HDF5FeatureStore(dep_ft_file)
+        self.connectivity_dir = connectivity_dir
+        self._graphs: Dict[str, ScanGraph] = {}
+
+    def graph(self, scan: str) -> ScanGraph:
+        if scan not in self._graphs:
+            self._graphs[scan] = ScanGraph(self.connectivity_dir, scan)
+        return self._graphs[scan]
+
+    # ---- sample assembly (mirrors PretrainSampler._assemble over real
+    #      features; dataset.py:483-525 / :288-340) ----
+
+    def _view_of(self, g: ScanGraph, u: int, v: int) -> Tuple[int, float]:
+        d = g.pos[v] - g.pos[u]
+        heading = math.atan2(-d[0], -d[2]) % (2 * math.pi)
+        sector = 2 * math.pi / self.sh.num_views
+        return int(round(heading / sector)) % self.sh.num_views, heading
+
+    def sample_batch(self, batch_size: int, task: str
+                     ) -> Dict[str, np.ndarray]:
+        from etpnav_tpu.data.pretrain_data import mask_tokens
+        samples = [self._one(task) for _ in range(batch_size)]
+        batch = {k: np.stack([s[k] for s in samples])
+                 for k in samples[0].keys()}
+        batch["txt_masks"] = batch["txt_ids"] != self.sh.pad_token_id
+        if task == "mlm":
+            masked, labels = zip(*[mask_tokens(self.rng, s["txt_ids"],
+                                               self.sh) for s in samples])
+            batch["txt_ids"] = np.stack(masked)
+            batch["txt_labels"] = np.stack(labels)
+        return batch
+
+    def _one(self, task: str) -> Dict[str, np.ndarray]:
+        sh = self.sh
+        item = self.data[self.rng.integers(len(self.data))]
+        g = self.graph(item["scan"])
+        full_path = [g.index[vp] for vp in item["path"]]
+
+        r = self.rng.random()
+        if task == "mlm" or r < 0.2 or len(full_path) <= 1:
+            path = full_path
+            end_is_goal = True
+            gt_next = None
+        else:
+            end_idx = int(self.rng.integers(len(full_path) - 1))
+            path = full_path[:end_idx + 1]
+            end_is_goal = False
+            gt_next = full_path[end_idx + 1]
+        path = path[:sh.max_traj_steps]
+        if gt_next in path:
+            gt_next = None
+
+        T, P, G = sh.max_traj_steps, sh.tokens_per_step, sh.max_gmap_len
+        out = {
+            "vp_img": np.zeros((T, P, sh.image_feat_size), np.float32),
+            "vp_dep": np.zeros((T, P, sh.depth_feat_size), np.float32),
+            "vp_loc": np.zeros((T, P, 4), np.float32),
+            "vp_nav": np.zeros((T, P), np.int32),
+            "vp_mask": np.zeros((T, P), bool),
+            "step_valid": np.zeros((T,), bool),
+            "agg_w": np.zeros((G, T * P), np.float32),
+            "gmap_step_ids": np.zeros((G,), np.int32),
+            "gmap_pos_fts": np.zeros((G, 7), np.float32),
+            "gmap_mask": np.zeros((G,), bool),
+            "gmap_visited": np.zeros((G,), bool),
+            "gmap_pair": np.zeros((G, G), np.float32),
+        }
+        visited: Dict[int, int] = {}
+        unvisited: Dict[int, List[Tuple[int, int]]] = {}
+        for t, vi in enumerate(path):
+            vp = g.vp_ids[vi]
+            img = self.img_store.get(item["scan"], vp)
+            dep = self.dep_store.get(item["scan"], vp)
+            cands = g.adj[vi][:sh.max_cands]
+            used = set()
+            for k, ci in enumerate(cands):
+                view, heading = self._view_of(g, vi, ci)
+                used.add(view)
+                out["vp_img"][t, k] = img[view][:sh.image_feat_size]
+                out["vp_dep"][t, k] = dep[view][:sh.depth_feat_size]
+                out["vp_loc"][t, k] = angle_features(
+                    np.array([heading]), np.array([0.0]))[0]
+                out["vp_nav"][t, k] = 1
+                out["vp_mask"][t, k] = True
+            for v in range(sh.num_views):
+                if v in used:
+                    continue
+                slot = sh.max_cands + v
+                out["vp_img"][t, slot] = img[v][:sh.image_feat_size]
+                out["vp_dep"][t, slot] = dep[v][:sh.depth_feat_size]
+                hv = v * 2 * math.pi / sh.num_views
+                out["vp_loc"][t, slot] = angle_features(
+                    np.array([hv]), np.array([0.0]))[0]
+                out["vp_mask"][t, slot] = True
+            out["step_valid"][t] = True
+            visited[vi] = t + 1
+            unvisited.pop(vi, None)
+            for k, ci in enumerate(cands):
+                if ci not in visited:
+                    unvisited.setdefault(ci, []).append((t, k))
+
+        slots = ([("stop", -1)] + [("node", v) for v in visited]
+                 + [("ghost", v) for v in unvisited])[:G]
+        cur = path[-1]
+        cur_heading = self._view_of(g, path[-2], path[-1])[1] \
+            if len(path) > 1 else float(item["heading"])
+        slot_vps: List[Optional[int]] = []
+        for si, (kind, vi) in enumerate(slots):
+            out["gmap_mask"][si] = True
+            if kind == "stop":
+                out["gmap_pos_fts"][si, :4] = angle_features(
+                    np.zeros(1), np.zeros(1))[0]
+                slot_vps.append(None)
+                continue
+            slot_vps.append(vi)
+            if kind == "node":
+                t = visited[vi] - 1
+                out["gmap_step_ids"][si] = visited[vi]
+                out["gmap_visited"][si] = True
+                valid = out["vp_mask"][t]
+                out["agg_w"][si, t * P:(t + 1) * P][valid] = \
+                    1.0 / valid.sum()
+            else:
+                for (t, k) in unvisited[vi]:
+                    out["agg_w"][si, t * P + k] += 1.0 / len(unvisited[vi])
+            d = g.pos[vi] - g.pos[cur]
+            xz = max(np.hypot(d[0], d[2]), 1e-8)
+            heading = np.arcsin(-d[0] / xz)
+            if d[2] > 0:
+                heading = np.pi - heading
+            heading -= cur_heading
+            out["gmap_pos_fts"][si, :4] = angle_features(
+                np.array([heading]), np.array([0.0]))[0]
+            out["gmap_pos_fts"][si, 4] = np.linalg.norm(d) / MAX_DIST
+            out["gmap_pos_fts"][si, 5] = g.dist[cur, vi] / MAX_DIST
+            out["gmap_pos_fts"][si, 6] = (g.hops[cur, vi] + 1) / MAX_STEP
+        for i in range(1, len(slots)):
+            for j in range(i + 1, len(slots)):
+                out["gmap_pair"][i, j] = out["gmap_pair"][j, i] = \
+                    g.dist[slot_vps[i], slot_vps[j]] / MAX_DIST
+
+        out["txt_ids"] = np.full(sh.max_txt_len, sh.pad_token_id, np.int64)
+        enc = item["instr_encoding"]
+        out["txt_ids"][:len(enc)] = enc
+        if end_is_goal:
+            label = 0
+        else:
+            label = -100
+            if gt_next is not None:
+                for si, vi in enumerate(slot_vps):
+                    if vi == gt_next and not out["gmap_visited"][si]:
+                        label = si
+                        break
+        out["global_act_labels"] = np.int64(label)
+        return out

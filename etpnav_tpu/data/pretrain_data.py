@@ -324,25 +324,7 @@ class PretrainSampler:
 
     def _mask_tokens(self, tokens: np.ndarray) -> Tuple[np.ndarray,
                                                         np.ndarray]:
-        """BERT 15% / 80-10-10 masking (tasks.py:12-52); labels -1 ignore."""
-        sh = self.sh
-        out = tokens.copy()
-        labels = np.full_like(tokens, -1)
-        real = tokens != sh.pad_token_id
-        r = self.rng.random(tokens.shape)
-        pick = (r < 0.15) & real
-        if not pick.any():
-            idx = int(np.flatnonzero(real)[0])
-            pick[idx] = True
-            r[idx] = 0.0
-        sub = r / 0.15
-        labels[pick] = tokens[pick]
-        out[pick & (sub < 0.8)] = sh.mask_token_id
-        rand_pos = pick & (sub >= 0.8) & (sub < 0.9)
-        out[rand_pos] = self.rng.integers(
-            sh.mask_vocab_range[0], sh.mask_vocab_range[1],
-            int(rand_pos.sum()))
-        return out, labels
+        return mask_tokens(self.rng, tokens, self.sh)
 
     def sample_batch(self, batch_size: int, task: str
                      ) -> Dict[str, np.ndarray]:
@@ -359,6 +341,28 @@ class PretrainSampler:
             batch["txt_ids"] = np.stack(masked)
             batch["txt_labels"] = np.stack(labels)
         return batch
+
+
+def mask_tokens(rng: np.random.Generator, tokens: np.ndarray,
+                sh: PretrainShapes) -> Tuple[np.ndarray, np.ndarray]:
+    """BERT 15% / 80-10-10 masking (tasks.py:12-52); labels -1 ignore."""
+    out = tokens.copy()
+    labels = np.full_like(tokens, -1)
+    real = tokens != sh.pad_token_id
+    r = rng.random(tokens.shape)
+    pick = (r < 0.15) & real
+    if not pick.any():
+        idx = int(np.flatnonzero(real)[0])
+        pick[idx] = True
+        r[idx] = 0.0
+    sub = r / 0.15
+    labels[pick] = tokens[pick]
+    out[pick & (sub < 0.8)] = sh.mask_token_id
+    rand_pos = pick & (sub >= 0.8) & (sub < 0.9)
+    out[rand_pos] = rng.integers(
+        sh.mask_vocab_range[0], sh.mask_vocab_range[1],
+        int(rand_pos.sum()))
+    return out, labels
 
 
 class MetaSampler:

@@ -1,0 +1,182 @@
+"""Multi-process vectorized env wrapper.
+
+Capability target: habitat VectorEnv's fork/pipe worker infrastructure as
+used by construct_envs (common/env_utils.py:35-124) — N worker processes
+each owning a scene-sharded env, plus the ThreadedVectorEnv debug fallback
+(:116-118). The transport batches *all* per-step oracle calls into one
+round-trip per worker (the reference's chattiest boundary,
+SURVEY.md §3.1).
+
+Workers host any VectorNavEnv-protocol env of num_envs=1 (habitat or
+geometric); the parent exposes the same batched protocol over the pool.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+from typing import Any, Callable, List, Sequence
+
+import numpy as np
+
+from etpnav_tpu.env.protocol import StepResult
+
+
+def _worker_loop(conn, env_factory):
+    env = env_factory()
+    try:
+        while True:
+            cmd, payload = conn.recv()
+            if cmd == "close":
+                conn.send(("ok", None))
+                break
+            try:
+                if cmd == "call":
+                    name, args, kwargs = payload
+                    res = getattr(env, name)(*args, **kwargs)
+                elif cmd == "attr":
+                    res = getattr(env, payload)
+                else:
+                    raise ValueError(cmd)
+                conn.send(("ok", res))
+            except Exception as e:   # noqa: BLE001 — surface to parent
+                conn.send(("err", repr(e)))
+    finally:
+        conn.close()
+
+
+class ProcessVectorEnv:
+    """Pool of single-env workers behind the batched VectorNavEnv API."""
+
+    def __init__(self, env_factories: Sequence[Callable], *,
+                 threaded: bool = False, context: str = "fork"):
+        self._n = len(env_factories)
+        self._threaded = threaded
+        self._live = list(range(self._n))
+        if threaded:
+            # ThreadedVectorEnv-style debug fallback: in-process envs
+            self._envs = [f() for f in env_factories]
+        else:
+            ctx = mp.get_context(context)
+            self._conns = []
+            self._procs = []
+            for f in env_factories:
+                parent, child = ctx.Pipe()
+                p = ctx.Process(target=_worker_loop, args=(child, f),
+                                daemon=True)
+                p.start()
+                child.close()
+                self._conns.append(parent)
+                self._procs.append(p)
+
+    # ---- fan-out plumbing ----
+
+    def _call_workers(self, idxs: List[int], name: str, args_list=None,
+                      kwargs_list=None) -> List[Any]:
+        args_list = args_list or [()] * len(idxs)
+        kwargs_list = kwargs_list or [{}] * len(idxs)
+        if self._threaded:
+            return [getattr(self._envs[i], name)(*a, **k)
+                    for i, a, k in zip(idxs, args_list, kwargs_list)]
+        for i, a, k in zip(idxs, args_list, kwargs_list):
+            self._conns[i].send(("call", (name, a, k)))
+        out = []
+        for i in idxs:
+            status, res = self._conns[i].recv()
+            if status == "err":
+                raise RuntimeError(f"worker {i}: {res}")
+            out.append(res)
+        return out
+
+    # ---- VectorNavEnv protocol ----
+
+    @property
+    def num_envs(self) -> int:
+        return len(self._live)
+
+    def pause_at(self, idx: int):
+        self._live.pop(idx)
+
+    def resume_all(self):
+        self._live = list(range(self._n))
+
+    def reset(self):
+        obs = self._call_workers(self._live, "reset")
+        return [o[0] for o in obs]
+
+    def step(self, actions) -> List[StepResult]:
+        res = self._call_workers(self._live, "step",
+                                 [( [a], ) for a in actions])
+        return [r[0] for r in res]
+
+    def step_low_level(self, actions) -> List[StepResult]:
+        res = self._call_workers(self._live, "step_low_level",
+                                 [( [a], ) for a in actions])
+        return [r[0] for r in res]
+
+    def current_episodes(self):
+        eps = self._call_workers(self._live, "current_episodes")
+        return [e[0] for e in eps]
+
+    def get_pos_ori(self):
+        outs = self._call_workers(self._live, "get_pos_ori")
+        return (np.concatenate([o[0] for o in outs]),
+                np.concatenate([o[1] for o in outs]))
+
+    def current_dist_to_goal(self) -> np.ndarray:
+        outs = self._call_workers(self._live, "current_dist_to_goal")
+        return np.concatenate(outs)
+
+    def point_dist_to_goal(self, env_idx: int, pos) -> float:
+        return self._call_workers([self._live[env_idx]],
+                                  "point_dist_to_goal", [(0, pos)])[0]
+
+    def cand_real_pos(self, env_idx: int, angles, distances) -> np.ndarray:
+        return self._call_workers([self._live[env_idx]], "cand_real_pos",
+                                  [(0, angles, distances)])[0]
+
+    def ghost_dist_to_ref(self, env_idx: int, ghost_positions,
+                          ref_path) -> int:
+        return self._call_workers(
+            [self._live[env_idx]], "ghost_dist_to_ref",
+            [(0, ghost_positions, ref_path)])[0]
+
+    def shortest_path_action(self, env_idx: int) -> int:
+        return self._call_workers([self._live[env_idx]],
+                                  "shortest_path_action", [(0,)])[0]
+
+    def close(self):
+        if self._threaded:
+            return
+        for c in self._conns:
+            try:
+                c.send(("close", None))
+                c.recv()
+            except (BrokenPipeError, EOFError):
+                pass
+        for p in self._procs:
+            p.join(timeout=5)
+
+
+class GeometricEnvFactory:
+    """Picklable single-env factory (spawn-safe worker target)."""
+
+    def __init__(self, seed: int, env_kwargs: dict):
+        self.seed = seed
+        self.env_kwargs = env_kwargs
+
+    def __call__(self):
+        from etpnav_tpu.env.geometric import GeometricNavEnv
+        return GeometricNavEnv(num_envs=1, seed=self.seed,
+                               **self.env_kwargs)
+
+
+def construct_geometric_envs(num_envs: int, *, workers: bool = True,
+                             seed: int = 0, **env_kwargs):
+    """construct_envs equivalent for the geometric world: one worker per
+    env slot with disjoint seeds (scene sharding analogue)."""
+    if not workers:
+        from etpnav_tpu.env.geometric import GeometricNavEnv
+        return GeometricNavEnv(num_envs=num_envs, seed=seed, **env_kwargs)
+    return ProcessVectorEnv([
+        GeometricEnvFactory(seed * 1000 + i, env_kwargs)
+        for i in range(num_envs)])

@@ -1,0 +1,131 @@
+"""Multi-process vector env + real-data (MP3D-layout) pretrain source."""
+
+import json
+
+import numpy as np
+import pytest
+
+from etpnav_tpu.env.vector import ProcessVectorEnv, construct_geometric_envs
+
+
+@pytest.mark.parametrize("threaded", [True, False])
+def test_process_vector_env_protocol(threaded):
+    envs = construct_geometric_envs(
+        3, workers=True, seed=1, vocab_size=64, max_instr_len=8,
+        image_size=16, depth_size=16) if not threaded else None
+    if threaded:
+        from etpnav_tpu.env.geometric import GeometricNavEnv
+
+        def factory(i):
+            def make():
+                return GeometricNavEnv(num_envs=1, seed=1000 + i,
+                                       vocab_size=64, max_instr_len=8,
+                                       image_size=16, depth_size=16)
+            return make
+        envs = ProcessVectorEnv([factory(i) for i in range(3)],
+                                threaded=True)
+    try:
+        obs = envs.reset()
+        assert len(obs) == 3
+        assert obs[0]["rgb"].shape == (12, 16, 16, 3)
+        pos, ori = envs.get_pos_ori()
+        assert pos.shape == (3, 3) and ori.shape == (3, 4)
+        d = envs.current_dist_to_goal()
+        assert d.shape == (3,)
+        # distinct worlds per worker (scene sharding analogue)
+        eps = envs.current_episodes()
+        assert len({e.episode_id for e in eps}) == 3
+        # batched step + pause
+        res = envs.step_low_level([1, 1, 1])
+        assert len(res) == 3
+        envs.pause_at(1)
+        assert envs.num_envs == 2
+        res = envs.step_low_level([2, 3])
+        assert len(res) == 2
+        envs.resume_all()
+        assert envs.num_envs == 3
+        # oracle fan-out
+        rp = envs.cand_real_pos(0, np.array([0.0]), np.array([1.0]))
+        assert rp.shape == (1, 3)
+    finally:
+        if hasattr(envs, "close"):
+            envs.close()
+
+
+def test_mp3d_pretrain_source(tmp_path):
+    """Real-data pretrain path over synthetic artifacts written in the
+    reference's file layouts (anno json + HDF5 stores + connectivity)."""
+    import h5py
+    from etpnav_tpu.data.mp3d_pretrain import MP3DTrajectoryData
+    from etpnav_tpu.data.pretrain_data import PretrainShapes
+
+    scan = "sc0"
+    n_vp = 6
+    # connectivity
+    entries = []
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(-5, 5, (n_vp, 3))
+    pos[:, 1] = 0
+    for i in range(n_vp):
+        pose = np.eye(4)
+        pose[:3, 3] = pos[i]
+        unob = [bool(j != i and np.linalg.norm(pos[i] - pos[j]) < 6)
+                for j in range(n_vp)]
+        entries.append({"image_id": f"vp{i}",
+                        "pose": pose.flatten().tolist(),
+                        "included": True, "unobstructed": unob})
+    (tmp_path / f"{scan}_connectivity.json").write_text(
+        json.dumps(entries))
+    # features
+    sh = PretrainShapes(max_txt_len=12, max_traj_steps=3, num_views=12,
+                        max_cands=3, max_gmap_len=12, image_feat_size=16,
+                        depth_feat_size=8, vocab_size=64, mask_token_id=3,
+                        mask_vocab_range=(5, 60))
+    with h5py.File(tmp_path / "img.h5", "w") as fi, \
+            h5py.File(tmp_path / "dep.h5", "w") as fd:
+        for i in range(n_vp):
+            fi.create_dataset(f"{scan}_vp{i}", data=rng.standard_normal(
+                (12, 16)).astype(np.float32))
+            fd.create_dataset(f"{scan}_vp{i}", data=rng.standard_normal(
+                (12, 8)).astype(np.float32))
+    # annotations: a couple of 3-vp paths
+    anno = [{"scan": scan, "path": ["vp0", "vp1", "vp2"], "heading": 0.0,
+             "instr_encoding": [7, 8, 9, 10]},
+            {"scan": scan, "path": ["vp3", "vp4"], "heading": 0.5,
+             "instr_encoding": [11, 12]}]
+    (tmp_path / "anno.json").write_text(json.dumps(anno))
+
+    data = MP3DTrajectoryData(
+        sh, [str(tmp_path / "anno.json")], str(tmp_path / "img.h5"),
+        str(tmp_path / "dep.h5"), str(tmp_path), seed=0)
+    b = data.sample_batch(4, "sap")
+    assert b["vp_img"].shape == (4, 3, 15, 16)
+    assert b["agg_w"].shape == (4, 12, 45)
+    for i in range(4):
+        sums = b["agg_w"][i].sum(-1)
+        valid = b["gmap_mask"][i]
+        np.testing.assert_allclose(sums[valid][1:], 1.0, atol=1e-5)
+    bm = data.sample_batch(2, "mlm")
+    assert (bm["txt_labels"] >= 0).any()
+
+    # trains with the same SPMD step
+    import dataclasses
+    import jax
+    from etpnav_tpu.config import tiny_config
+    from etpnav_tpu.parallel import mesh as meshlib
+    from etpnav_tpu.training.pretrain import (init_pretrain_params,
+                                              make_optimizer, pretrain_step)
+    cfg = tiny_config()
+    pl = dataclasses.replace(cfg.planner, max_txt_len=12,
+                             image_feat_size=16, depth_feat_size=8,
+                             vocab_size=64)
+    cfg = dataclasses.replace(cfg, planner=pl)
+    mesh = meshlib.make_mesh(dp=4, mp=2)
+    params = meshlib.shard_params(
+        mesh, init_pretrain_params(jax.random.PRNGKey(0), cfg.planner))
+    tx = make_optimizer(cfg)
+    opt = tx.init(params)
+    batch = meshlib.shard_batch(mesh, data.sample_batch(8, "sap"))
+    params, opt, loss = pretrain_step(params, opt, cfg.planner, tx, "sap",
+                                      batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))

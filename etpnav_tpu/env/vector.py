@@ -134,6 +134,38 @@ class ProcessVectorEnv:
         return self._call_workers([self._live[env_idx]], "cand_real_pos",
                                   [(0, angles, distances)])[0]
 
+    def cand_real_pos_batch(self, angles_list, distances_list
+                            ) -> List[np.ndarray]:
+        """One fan-out for all live envs' candidate oracles (the
+        reference's chattiest per-env call_at loop,
+        ss_trainer_ETP.py:853-859)."""
+        return self._call_workers(
+            self._live, "cand_real_pos",
+            [(0, a, d) for a, d in zip(angles_list, distances_list)])
+
+    # ---- async stepping (double-buffered rollout support) ----
+
+    def step_async(self, actions):
+        if self._threaded:
+            self._pending = [self._envs[i].step([a])[0]
+                             for i, a in zip(self._live, actions)]
+            return
+        for i, a in zip(self._live, actions):
+            self._conns[i].send(("call", ("step", ([a],), {})))
+
+    def step_wait(self) -> List[StepResult]:
+        if self._threaded:
+            out = self._pending
+            self._pending = None
+            return out
+        out = []
+        for i in self._live:
+            status, res = self._conns[i].recv()
+            if status == "err":
+                raise RuntimeError(f"worker {i}: {res}")
+            out.append(res[0])
+        return out
+
     def ghost_dist_to_ref(self, env_idx: int, ghost_positions,
                           ref_path) -> int:
         return self._call_workers(

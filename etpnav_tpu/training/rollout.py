@@ -180,16 +180,27 @@ class RolloutEngine:
 
             # ---- update topological maps (host) ----
             K = cfg.waypoint.max_predictions
+            cand_ad = []
+            for i in range(n):
+                valid = wp_h["cand_valid"][i]
+                cand_ad.append((wp_h["cand_angles"][i][valid],
+                                wp_h["cand_distances"][i][valid]))
+            batch_real_pos = None
+            if train and hasattr(envs, "cand_real_pos_batch"):
+                # one oracle fan-out for all envs (vs per-env round trips)
+                batch_real_pos = envs.cand_real_pos_batch(
+                    [a for a, _ in cand_ad], [d for _, d in cand_ad])
             for i in range(n):
                 gi = live[i]
                 valid = wp_h["cand_valid"][i]
-                angles = wp_h["cand_angles"][i][valid]
-                dists = wp_h["cand_distances"][i][valid]
+                angles, dists = cand_ad[i]
                 tok_idx = np.flatnonzero(valid)      # cand slot == token idx
                 cand_embeds = pano_embeds[i][tok_idx]
                 real_pos = None
                 if train:
-                    real_pos = envs.cand_real_pos(i, angles, dists)
+                    real_pos = (batch_real_pos[i]
+                                if batch_real_pos is not None
+                                else envs.cand_real_pos(i, angles, dists))
                 cur = gmaps[gi].update(
                     prev_node[gi], stepk + 1, pos[i], ori[i], avg_pano[i],
                     angles, dists, cand_embeds, tok_idx, stepk,

@@ -144,6 +144,8 @@ class ILConfig:
     max_text_len: int = 80
     success_distance: float = 3.0
     stop_distance: float = 1.5   # teacher stop trigger (ss_trainer_ETP.py:283)
+    remat: bool = False          # jax.checkpoint the pano encoder in the
+                                 # learn step (memory <-> recompute)
 
 
 @dataclasses.dataclass(frozen=True)

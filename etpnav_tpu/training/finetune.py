@@ -61,14 +61,21 @@ def compute_il_loss(planner_params: dict, cfg: ExperimentConfig,
     dmask = jax.random.bernoulli(r_drop, keep, rgb.shape)
     rgb = jnp.where(dmask, rgb / keep, 0.0)
 
-    pano_embeds, _ = planner.forward_panorama(
-        planner_params, p,
+    def pano_fwd(params, rgb_, dep_, loc_, nav_, mask_, rng_):
+        return planner.forward_panorama(params, p, rgb_, dep_, loc_, nav_,
+                                        mask_, rng=rng_, train=True)
+    if cfg.il.remat:
+        # rematerialize pano activations in backward: trades FLOPs for the
+        # (B*T, P, D) activation memory of the biggest fan-out
+        pano_fwd = jax.checkpoint(pano_fwd)
+    pano_embeds, _ = pano_fwd(
+        planner_params,
         rgb.reshape(B * T, P, -1),
         batch["vp_dep"].reshape(B * T, P, -1),
         batch["vp_loc"].reshape(B * T, P, -1),
         batch["vp_nav"].reshape(B * T, P),
         batch["vp_mask"].reshape(B * T, P),
-        rng=r_pano, train=True)
+        r_pano)
     pano_flat = pano_embeds.reshape(B, T * P, -1)
     # zero tokens of invalid steps so W rows only see real data
     step_tok_mask = jnp.repeat(batch["step_valid"], P, axis=1)  # (B, T*P)

@@ -1,0 +1,127 @@
+"""Failure handling: requeue resume, remat learn step, worker crash
+surfacing, converter CLI."""
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from etpnav_tpu.config import tiny_config
+from etpnav_tpu.env.geometric import GeometricNavEnv
+from etpnav_tpu.training.checkpoints import latest_checkpoint
+from etpnav_tpu.training.finetune import FinetuneTrainer
+
+
+def _envs(cfg, seed=0):
+    return GeometricNavEnv(
+        num_envs=2, seed=seed, vocab_size=cfg.planner.vocab_size,
+        max_instr_len=cfg.il.max_text_len, image_size=cfg.clip.image_size,
+        depth_size=cfg.depth.input_size, pad_id=cfg.planner.pad_token_id)
+
+
+def test_requeue_resume(tmp_path):
+    """is_requeue semantics (ss_trainer_ETP.py:216-236): newest ckpt by
+    iter restores params + optimizer + iteration; training continues."""
+    cfg = tiny_config()
+    tr = FinetuneTrainer(cfg, _envs(cfg), seed=0)
+    tr.train(iters=1)
+    tr.save_checkpoint(str(tmp_path / "ckpt_iter1"))
+    tr.train(iters=1)
+    tr.save_checkpoint(str(tmp_path / "ckpt_iter2"))
+
+    latest = latest_checkpoint(str(tmp_path))
+    assert latest.endswith("iter2")
+    tr2 = FinetuneTrainer(cfg, _envs(cfg, seed=9), seed=5)
+    tr2.load_checkpoint(latest)
+    assert tr2.iteration == 2
+    np.testing.assert_array_equal(
+        np.asarray(tr.params.planner["global_sap_head"]["dense2"]["w"]),
+        np.asarray(tr2.params.planner["global_sap_head"]["dense2"]["w"]))
+    logs = tr2.train(iters=1)
+    assert np.isfinite(logs["IL_loss"]) and tr2.iteration == 3
+
+
+def test_remat_learn_step_matches_memoryful():
+    cfg = tiny_config()
+    cfg_remat = dataclasses.replace(
+        cfg, il=dataclasses.replace(cfg.il, remat=True))
+    tr1 = FinetuneTrainer(cfg, _envs(cfg), seed=0)
+    rec = tr1.engine.run("train", sample_ratio=1.0)
+    from etpnav_tpu.training.finetune import compute_il_loss, \
+        record_to_batch
+    batch = record_to_batch(rec)
+    rng = jax.random.PRNGKey(7)
+    l1 = compute_il_loss(tr1.params.planner, cfg, batch, rng)
+    l2 = compute_il_loss(tr1.params.planner, cfg_remat, batch, rng)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    g1 = jax.grad(compute_il_loss)(tr1.params.planner, cfg, batch, rng)
+    g2 = jax.grad(compute_il_loss)(tr1.params.planner, cfg_remat, batch,
+                                   rng)
+    a = jax.tree_util.tree_leaves(g1)[0]
+    b = jax.tree_util.tree_leaves(g2)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_worker_crash_surfaces():
+    from etpnav_tpu.env.vector import ProcessVectorEnv, GeometricEnvFactory
+    envs = ProcessVectorEnv([GeometricEnvFactory(0, dict(
+        vocab_size=64, max_instr_len=8, image_size=16, depth_size=16))])
+    try:
+        envs.reset()
+        with pytest.raises(RuntimeError, match="worker 0"):
+            envs._call_workers([0], "nonexistent_method")
+    finally:
+        envs.close()
+
+
+def test_convert_cli_roundtrip(tmp_path):
+    """End-to-end: torch-save a reference-layout waypoint ckpt, convert via
+    the CLI, restore, run the predictor."""
+    import sys
+    import torch
+    sys.path.insert(0, "tests")
+    import jax.numpy as jnp
+    from etpnav_tpu import convert_cli
+    from etpnav_tpu.config import WaypointConfig
+    from etpnav_tpu.models import waypoint
+
+    cfg = WaypointConfig(hidden_size=32, num_heads=4, num_layers=1,
+                         depth_feat_shape=(8, 2, 2))
+    g = np.random.default_rng(0)
+    sd = {}
+
+    def lin(key, din, dout):
+        sd[f"{key}.weight"] = torch.from_numpy(
+            g.standard_normal((dout, din)).astype(np.float32))
+        sd[f"{key}.bias"] = torch.from_numpy(
+            g.standard_normal(dout).astype(np.float32))
+
+    def ln(key, d):
+        sd[f"{key}.weight"] = torch.ones(d)
+        sd[f"{key}.bias"] = torch.zeros(d)
+
+    D = cfg.hidden_size
+    lin("predictor.visual_fc_depth.1", 32, D)
+    b = "predictor.waypoint_TRM.bert.encoder.layer.0"
+    for qkv in ("query", "key", "value"):
+        lin(f"{b}.attention.self.{qkv}", D, D)
+    lin(f"{b}.attention.output.dense", D, D)
+    ln(f"{b}.attention.output.LayerNorm", D)
+    lin(f"{b}.intermediate.dense", D, 4 * D)
+    lin(f"{b}.output.dense", 4 * D, D)
+    ln(f"{b}.output.LayerNorm", D)
+    lin("predictor.vis_classifier.0", D, D)
+    lin("predictor.vis_classifier.2", D, 120)
+    path = tmp_path / "wp.pth"
+    torch.save({"predictor": sd}, str(path))
+
+    from etpnav_tpu.models.convert import convert_waypoint
+    params = convert_waypoint(
+        convert_cli.load_torch_state_dict(str(path), "waypoint"),
+        num_layers=1)
+    feats = jnp.asarray(g.standard_normal((2, 12, 8, 2, 2)), jnp.float32)
+    hm = waypoint.waypoint_heatmap(params, cfg, feats)
+    assert hm.shape == (2, 120, 12)
+    assert np.isfinite(np.asarray(hm)).all()

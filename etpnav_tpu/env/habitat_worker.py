@@ -1,0 +1,312 @@
+"""Habitat-sim worker env implementing the VectorNavEnv protocol.
+
+Production adapter (requires habitat-lab v0.1.7-compatible API +
+habitat-sim; neither is in CI — this module is only imported through
+env/habitat_adapter.py's availability gate).
+
+Maps the framework's batched protocol onto habitat primitives exactly the
+way the reference's env layer does:
+- obs-free physics stepping for low-level control
+  (habitat_extensions/habitat_simulator.py:62-93 step_without_obs)
+- quantized turn / 0.25m forward micro-steps with the collision tryout
+  recovery (common/environments.py:340-421)
+- state-preserving candidate oracles via set_agent_state round-trips
+  (common/environments.py:121-143)
+- geodesic_distance for teacher supervision (:108-119)
+
+One HabitatWorkerEnv hosts one habitat.Env (scene-sharded by the caller);
+ProcessVectorEnv (env/vector.py) provides the worker pool + batched RPC.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from etpnav_tpu.env.geometric import (
+    TRYOUT_LEFT_FIRST,
+    TRYOUT_RIGHT_FIRST,
+    heading_to_quat,
+)
+from etpnav_tpu.env.protocol import Episode, StepResult
+from etpnav_tpu.graph.geometry import heading_from_quaternion
+
+FORWARD_M = 0.25
+TURN_DEG = 15.0
+
+
+class HabitatWorkerEnv:
+    """Single habitat env behind the VectorNavEnv protocol (num_envs=1)."""
+
+    def __init__(self, habitat_config, episodes: Sequence[Episode] = None,
+                 seed: int = 0):
+        import habitat
+        self._cfg = habitat_config
+        self._env = habitat.Env(config=habitat_config)
+        self._env.seed(seed)
+        self._rng = random.Random(seed)
+        self._paused = False
+        self._positions: List[np.ndarray] = []
+        self._headings: List[float] = []
+        self._collisions = 0
+        self._steps = 0
+
+    # ---- protocol plumbing (single env) ----
+
+    @property
+    def num_envs(self) -> int:
+        return 0 if self._paused else 1
+
+    def pause_at(self, idx: int):
+        self._paused = True
+
+    def resume_all(self):
+        self._paused = False
+
+    def current_episodes(self):
+        ep = self._env.current_episode
+        instr = getattr(ep, "instruction", None)
+        return [Episode(
+            episode_id=str(ep.episode_id),
+            scene_id=ep.scene_id,
+            instruction_tokens=np.asarray(
+                getattr(instr, "instruction_tokens", []), np.int64),
+            instruction_text=getattr(instr, "instruction_text", ""),
+            start_position=np.asarray(ep.start_position),
+            start_heading=0.0,
+            goal_position=np.asarray(ep.goals[0].position),
+            reference_path=[np.asarray(p) for p in
+                            getattr(ep, "reference_path", [])],
+        )]
+
+    # ---- sim primitives ----
+
+    def _sim(self):
+        return self._env.sim
+
+    def _state(self):
+        return self._sim().get_agent_state()
+
+    def _log_pose(self):
+        s = self._state()
+        self._positions.append(np.asarray(s.position))
+        q = s.rotation
+        self._headings.append(heading_from_quaternion(
+            np.array([q.x, q.y, q.z, q.w])))
+
+    def _step_without_obs(self, action: int):
+        """Physics step, no sensor render (Sim-v1 extension,
+        habitat_simulator.py:62-93). Falls back to env-level step when the
+        simulator lacks the extension."""
+        sim = self._sim()
+        if hasattr(sim, "step_without_obs"):
+            sim.step_without_obs(action)
+        else:
+            sim.step(action)
+        self._steps += 1
+        self._log_pose()
+
+    def _forward_once(self) -> bool:
+        self._step_without_obs(1)   # MOVE_FORWARD
+        collided = bool(getattr(self._sim(), "previous_step_collided",
+                                False))
+        self._collisions += int(collided)
+        return collided
+
+    def _turn(self, ang_rad: float):
+        deg = round(math.degrees(ang_rad) / TURN_DEG) * TURN_DEG
+        if 180 < deg <= 360:
+            deg -= 360
+        n = abs(int(deg // TURN_DEG))
+        action = 2 if deg >= 0 else 3   # TURN_LEFT / TURN_RIGHT
+        for _ in range(n):
+            self._step_without_obs(action)
+
+    def _teleport(self, pos):
+        self._sim().set_agent_state(list(map(float, pos)),
+                                    heading_to_quat(0.0).tolist())
+        self._log_pose()
+
+    def _rel_to(self, target) -> tuple:
+        s = self._state()
+        q = s.rotation
+        heading = heading_from_quaternion(np.array([q.x, q.y, q.z, q.w]))
+        d = np.asarray(target) - np.asarray(s.position)
+        dist = math.hypot(d[0], d[2])
+        ang_world = math.atan2(-d[0], -d[2])
+        return (ang_world - heading) % (2 * math.pi), dist
+
+    def _single_step_control(self, target, tryout: bool):
+        rel, dist = self._rel_to(target)
+        self._turn(rel)
+        ksteps = int(dist // FORWARD_M)
+        done = 0
+        collided = False
+        for _ in range(ksteps):
+            if self._forward_once():
+                collided = True
+                break
+            done += 1
+        remaining = ksteps - done
+        if tryout and collided and remaining > 0:
+            left = self._rng.random() < 0.5
+            self._turn(math.radians(90 if left else 270))
+            for head, tail in (TRYOUT_LEFT_FIRST if left
+                               else TRYOUT_RIGHT_FIRST):
+                self._turn(math.radians(head))
+                before = np.asarray(self._state().position)
+                self._forward_once()
+                if not np.allclose(before,
+                                   np.asarray(self._state().position)):
+                    self._turn(math.radians(tail))
+                    for _ in range(remaining):
+                        if self._forward_once():
+                            break
+                    break
+
+    # ---- protocol: reset / step ----
+
+    def reset(self):
+        obs = self._env.reset()
+        self._positions = []
+        self._headings = []
+        self._collisions = 0
+        self._steps = 0
+        self._log_pose()
+        return [self._pack_obs(obs)]
+
+    def _pack_obs(self, obs) -> dict:
+        """Collect the 12-camera panorama into (12, H, W, C) arrays,
+        counter-clockwise with view 0 forward (the reference assembles the
+        same rig, ss_trainer_ETP.py:97-113)."""
+        rgb, dep = [], []
+        for v in range(12):
+            suffix = "" if v == 0 else f"_{v}"
+            rgb.append(obs.get(f"rgb{suffix}", obs.get("rgb")))
+            dep.append(obs.get(f"depth{suffix}", obs.get("depth")))
+        return {
+            "rgb": np.stack(rgb),
+            "depth": np.stack(dep),
+            "instruction": np.asarray(
+                obs.get("instruction", np.zeros(0)), np.int64),
+        }
+
+    def step(self, actions) -> List[StepResult]:
+        action = actions[0]
+        act = action["act"]
+        if act == 4:
+            if action.get("back_path") is None:
+                self._teleport(action["front_pos"])
+            else:
+                for _vp, pos in action["back_path"]:
+                    self._single_step_control(pos,
+                                              action.get("tryout", True))
+            self._single_step_control(action["ghost_pos"],
+                                      action.get("tryout", True))
+            s = self._state()
+            obs = self._sim().get_observations_at(
+                s.position, s.rotation, keep_agent_at_new_pose=True)
+            done = False
+            info = {}
+        elif act == 0:
+            if action.get("back_path") is None:
+                self._teleport(action["stop_pos"])
+            else:
+                for _vp, pos in action["back_path"]:
+                    self._single_step_control(pos,
+                                              action.get("tryout", True))
+            obs = self._env.step({"action": 0})  # STOP
+            done = True
+            info = self._info()
+        else:
+            raise NotImplementedError(act)
+        return [StepResult(self._pack_obs(obs), done, info)]
+
+    def _info(self) -> dict:
+        ep = self._env.current_episode
+        goal = np.asarray(ep.goals[0].position)
+        positions = np.stack(self._positions)
+        dists = np.array([self._sim().geodesic_distance(p, goal)
+                          for p in positions])
+        return {
+            "position": {"position": positions, "distance": dists},
+            "position_infer": {
+                "position": [list(map(float, p)) for p in self._positions],
+                "heading": self._headings,
+            },
+            "steps_taken": self._steps,
+            "collisions": {"count": self._collisions},
+        }
+
+    # ---- protocol: oracles ----
+
+    def get_pos_ori(self):
+        s = self._state()
+        q = s.rotation
+        return (np.asarray(s.position)[None],
+                np.array([[q.x, q.y, q.z, q.w]]))
+
+    def current_dist_to_goal(self) -> np.ndarray:
+        ep = self._env.current_episode
+        return np.array([self._sim().geodesic_distance(
+            self._state().position, ep.goals[0].position)])
+
+    def point_dist_to_goal(self, env_idx: int, pos) -> float:
+        ep = self._env.current_episode
+        return float(self._sim().geodesic_distance(
+            list(map(float, pos)), ep.goals[0].position))
+
+    def cand_real_pos(self, env_idx: int, angles, distances) -> np.ndarray:
+        """State-preserving candidate simulation
+        (environments.py:121-143)."""
+        sim = self._sim()
+        init = self._state()
+        out = []
+        for ang, dist in zip(angles, distances):
+            q = init.rotation
+            heading = heading_from_quaternion(
+                np.array([q.x, q.y, q.z, q.w]))
+            sim.set_agent_state(
+                init.position,
+                heading_to_quat((heading + ang) % (2 * math.pi)).tolist())
+            for _ in range(int(dist // FORWARD_M)):
+                if hasattr(sim, "step_without_obs"):
+                    sim.step_without_obs(1)
+                else:
+                    sim.step(1)
+            out.append(np.asarray(sim.get_agent_state().position))
+        sim.set_agent_state(init.position, init.rotation)
+        return np.stack(out)
+
+    def ghost_dist_to_ref(self, env_idx: int, ghost_positions,
+                          ref_path) -> int:
+        ref = np.asarray(ref_path)
+        pos = np.asarray(self._state().position)
+        d = np.array([self._sim().geodesic_distance(pos, p) for p in ref])
+        within = d <= 3.0
+        sub_goal = ref[int(np.flatnonzero(within)[-1])] if within.any() \
+            else ref[0]
+        gd = [self._sim().geodesic_distance(list(map(float, g)), sub_goal)
+              for g in ghost_positions]
+        return int(np.argmin(gd))
+
+
+class HabitatVectorEnv:
+    """construct_envs equivalent: scene-sharded HabitatWorkerEnv pool."""
+
+    def __new__(cls, cfg, num_envs: int = 8, split: str = "train",
+                episodes_allowed=None):
+        import habitat
+        from etpnav_tpu.env.vector import ProcessVectorEnv
+        from etpnav_tpu.env.habitat_adapter import shard_scenes
+
+        base = habitat.get_config()   # caller-supplied task config in cfg
+        factories = []
+        for i in range(num_envs):
+            def make(i=i):
+                return HabitatWorkerEnv(base, seed=i)
+            factories.append(make)
+        return ProcessVectorEnv(factories)

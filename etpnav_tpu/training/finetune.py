@@ -39,31 +39,35 @@ from etpnav_tpu.training.agent import AgentParams, JittedAgent, \
 from etpnav_tpu.training.rollout import RolloutEngine, RolloutRecord
 
 
-def compute_il_loss(planner_params: dict, cfg: ExperimentConfig,
-                    batch: dict, rng: jax.Array) -> jax.Array:
-    """Replay loss over a recorded rollout interval.
-
-    batch holds device arrays mirroring RolloutRecord. Differentiable path:
-    txt encoder -> pano encoder -> (linear aggregation W) -> nav encoder ->
-    CE. Frozen visual features enter as data.
-    """
+def replay_logits(planner_params: dict, cfg: ExperimentConfig,
+                  batch: dict, rng: Optional[jax.Array] = None,
+                  train: bool = True) -> jax.Array:
+    """Differentiable replay of the rollout's decision path over all
+    recorded steps at once: txt encoder -> pano encoder -> (linear
+    aggregation W) -> nav encoder -> (B, T, G) logits. With train=False
+    and the same params this reproduces the rollout-time logits exactly
+    (modulo dropout), which tests assert."""
     p = cfg.planner
     B, T, P = batch["vp_rgb"].shape[:3]
     G = batch["gmap_mask"].shape[2]
-    r_txt, r_pano, r_nav, r_drop = jax.random.split(rng, 4)
+    if rng is not None:
+        r_txt, r_pano, r_nav, r_drop = jax.random.split(rng, 4)
+    else:
+        r_txt = r_pano = r_nav = r_drop = None
 
     txt = planner.forward_txt(planner_params, p, batch["txt_ids"],
-                              batch["txt_masks"], rng=r_txt, train=True)
+                              batch["txt_masks"], rng=r_txt, train=train)
 
     # drop_env on rgb features (Policy_ViewSelection_ETP.py:102,345)
     rgb = batch["vp_rgb"]
-    keep = 0.6
-    dmask = jax.random.bernoulli(r_drop, keep, rgb.shape)
-    rgb = jnp.where(dmask, rgb / keep, 0.0)
+    if train and r_drop is not None:
+        keep = 0.6
+        dmask = jax.random.bernoulli(r_drop, keep, rgb.shape)
+        rgb = jnp.where(dmask, rgb / keep, 0.0)
 
     def pano_fwd(params, rgb_, dep_, loc_, nav_, mask_, rng_):
         return planner.forward_panorama(params, p, rgb_, dep_, loc_, nav_,
-                                        mask_, rng=rng_, train=True)
+                                        mask_, rng=rng_, train=train)
     if cfg.il.remat:
         # rematerialize pano activations in backward: trades FLOPs for the
         # (B*T, P, D) activation memory of the biggest fan-out
@@ -101,8 +105,19 @@ def compute_il_loss(planner_params: dict, cfg: ExperimentConfig,
         batch["gmap_mask"].reshape(B * T, G),
         batch["gmap_visited"].reshape(B * T, G),
         batch["gmap_pair"].reshape(B * T, G, G),
-        rng=r_nav, train=True)
-    logits = nav["global_logits"].reshape(B, T, G)
+        rng=r_nav, train=train)
+    return nav["global_logits"].reshape(B, T, G)
+
+
+def compute_il_loss(planner_params: dict, cfg: ExperimentConfig,
+                    batch: dict, rng: jax.Array) -> jax.Array:
+    """Replay loss over a recorded rollout interval.
+
+    batch holds device arrays mirroring RolloutRecord. Differentiable path:
+    txt encoder -> pano encoder -> (linear aggregation W) -> nav encoder ->
+    CE. Frozen visual features enter as data.
+    """
+    logits = replay_logits(planner_params, cfg, batch, rng, train=True)
 
     teacher = batch["teacher"]                        # (B, T), -100 ignore
     valid = (teacher >= 0) & batch["step_valid"]
@@ -151,19 +166,31 @@ class FinetuneTrainer:
 
     def __init__(self, cfg: ExperimentConfig, envs, *,
                  params: Optional[AgentParams] = None,
-                 ckpt_dir: str = "checkpoints", seed: int = 0):
+                 ckpt_dir: str = "checkpoints", seed: int = 0,
+                 tb_dir: Optional[str] = None):
+        from etpnav_tpu.utils.logging import StepTimer, TensorboardLogger
         self.cfg = cfg
         self.envs = envs
         self.ckpt_dir = ckpt_dir
         key = jax.random.PRNGKey(seed)
         self.params = params or init_agent_params(key, cfg)
         self.agent = JittedAgent(cfg, self.params)
-        self.engine = RolloutEngine(cfg, self.agent, envs, seed=seed)
+        if isinstance(envs, (list, tuple)):
+            # pipelined mode: one engine per env pool, threaded overlap of
+            # sim waits and device compute (training/pipeline.py)
+            from etpnav_tpu.training.pipeline import PipelinedRollout
+            engines = [RolloutEngine(cfg, self.agent, e, seed=seed + i)
+                       for i, e in enumerate(envs)]
+            self.engine = PipelinedRollout(engines)
+        else:
+            self.engine = RolloutEngine(cfg, self.agent, envs, seed=seed)
         self.tx = optax.adamw(cfg.il.lr)
         self.opt_state = self.tx.init(self.params.planner)
         self.rng = jax.random.PRNGKey(seed + 1)
         self.iteration = 0
         self.logs = defaultdict(list)
+        self.timer = StepTimer()
+        self.writer = TensorboardLogger(tb_dir)
 
     def _refresh_agent(self):
         # JittedAgent closures take params per call; just swap the tuple
@@ -176,17 +203,25 @@ class FinetuneTrainer:
         for _ in range(iters):
             ratio = il.sample_ratio ** (
                 self.iteration // il.decay_interval + 1)
-            rec = self.engine.run("train", sample_ratio=ratio,
-                                  gt_paths=gt_paths)
-            batch = record_to_batch(rec)
-            self.rng, sub = jax.random.split(self.rng)
-            new_planner, self.opt_state, loss = learn_step(
-                self.params.planner, self.opt_state, self.cfg, self.tx,
-                batch, sub)
+            with self.timer.phase("rollout"):
+                rec = self.engine.run("train", sample_ratio=ratio,
+                                      gt_paths=gt_paths)
+            with self.timer.phase("learn"):
+                batch = record_to_batch(rec)
+                self.rng, sub = jax.random.split(self.rng)
+                new_planner, self.opt_state, loss = learn_step(
+                    self.params.planner, self.opt_state, self.cfg, self.tx,
+                    batch, sub)
             self.params = self.params._replace(planner=new_planner)
             self._refresh_agent()
             self.iteration += 1
             self.logs["IL_loss"].append(float(loss))
+            self.writer.add_scalar("loss/IL_loss", float(loss),
+                                   self.iteration)
+            if self.iteration % 50 == 0:
+                self.writer.add_scalars(
+                    {f"time/{k}": v for k, v in self.timer.means().items()},
+                    self.iteration)
         return {k: float(np.mean(v[-iters:])) for k, v in self.logs.items()}
 
     def evaluate(self, episode_count: int,

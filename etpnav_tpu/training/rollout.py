@@ -54,6 +54,8 @@ class RolloutRecord:
     gmap_pair: np.ndarray      # (B, T, G, G)
     teacher: np.ndarray        # (B, T) int32, -100 = ignore
     step_valid: np.ndarray     # (B, T) bool
+    logits: np.ndarray         # (B, T, G) rollout-time nav logits (debug /
+                               # replay-equivalence checks)
 
 
 class RolloutEngine:
@@ -144,6 +146,7 @@ class RolloutEngine:
                 gmap_pair=np.zeros((B, T, G, G), np.float32),
                 teacher=np.full((B, T), -100, np.int32),
                 step_valid=np.zeros((B, T), bool),
+                logits=np.zeros((B, T, G), np.float32),
             )
 
         gmaps = [TopoMap(loc_noise=il.loc_noise,
@@ -261,6 +264,7 @@ class RolloutEngine:
                     gi = live[i]
                     rec.step_valid[gi, stepk] = True
                     rec.teacher[gi, stepk] = teacher[i]
+                    rec.logits[gi, stepk] = logits[i]
                     rec.vp_rgb[gi, stepk] = wp_h["rgb_fts"][i]
                     rec.vp_dep[gi, stepk] = wp_h["dep_fts"][i]
                     rec.vp_loc[gi, stepk] = wp_h["loc_fts"][i]

@@ -1,0 +1,41 @@
+"""THE core invariant of rollout-replay training: the fused learn-phase
+replay (deterministic mode) must reproduce the rollout-time navigation
+logits exactly — same params, same recorded features, batched (B*T)
+instead of per-step."""
+
+import jax
+import numpy as np
+
+from etpnav_tpu.config import tiny_config
+from etpnav_tpu.env.geometric import GeometricNavEnv
+from etpnav_tpu.training.finetune import FinetuneTrainer, record_to_batch, \
+    replay_logits
+
+
+def test_replay_reproduces_rollout_logits():
+    cfg = tiny_config()
+    envs = GeometricNavEnv(
+        num_envs=2, seed=11, vocab_size=cfg.planner.vocab_size,
+        max_instr_len=cfg.il.max_text_len, image_size=cfg.clip.image_size,
+        depth_size=cfg.depth.input_size, pad_id=cfg.planner.pad_token_id)
+    tr = FinetuneTrainer(cfg, envs, seed=0)
+    rec = tr.engine.run("train", sample_ratio=1.0)
+
+    batch = record_to_batch(rec)
+    logits = np.asarray(replay_logits(tr.params.planner, cfg, batch,
+                                      rng=None, train=False))
+    valid = rec.step_valid
+    assert valid.any()
+    for b in range(valid.shape[0]):
+        for t in range(valid.shape[1]):
+            if not valid[b, t]:
+                continue
+            mask = rec.gmap_mask[b, t]
+            got = logits[b, t][mask]
+            want = rec.logits[b, t][mask]
+            # -inf slots (visited) must agree in position
+            np.testing.assert_array_equal(np.isneginf(got),
+                                          np.isneginf(want))
+            finite = np.isfinite(want)
+            np.testing.assert_allclose(got[finite], want[finite],
+                                       atol=2e-4)

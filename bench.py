@@ -40,11 +40,8 @@ def main():
     depth = jnp.asarray(rng.random((B, 12, 128, 128, 1), np.float32))
 
     def one_pano(params, rgb, depth):
-        out = agent_lib.encode_panorama(params, cfg, rgb, depth)
-        emb = agent_lib.embed_panorama(params, cfg, {
-            k: out[k] for k in ("rgb_fts", "dep_fts", "loc_fts",
-                                "nav_types", "view_masks")})
-        return emb["avg_pano_embeds"]
+        return agent_lib.perceive(params, cfg, rgb,
+                                  depth)["avg_pano_embeds"]
 
     def chained(params, rgb, depth, n):
         def body(carry, _):

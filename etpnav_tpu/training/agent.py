@@ -167,6 +167,22 @@ def score_navigation(params: AgentParams, cfg: ExperimentConfig,
         gmap["visited"], gmap["pair_dists"], rng=rng, train=train)
 
 
+def perceive(params: AgentParams, cfg: ExperimentConfig, rgb: jax.Array,
+             depth: jax.Array, sample_rng: Optional[jax.Array] = None,
+             train_sampling: bool = False) -> dict:
+    """The whole per-step perception path in ONE device program: frozen
+    encoders + waypoint heatmap + NMS candidates + pano-token embedding
+    (the reference's 'waypoint' and 'panorama' policy modes, which take a
+    host hop between them at ss_trainer_ETP.py:825-839)."""
+    wp = encode_panorama(params, cfg, rgb, depth, sample_rng,
+                         train_sampling)
+    emb = embed_panorama(params, cfg, {
+        k: wp[k] for k in ("rgb_fts", "dep_fts", "loc_fts", "nav_types",
+                           "view_masks")})
+    wp.update(emb)
+    return wp
+
+
 class JittedAgent:
     """Convenience wrapper holding jitted closures over a config."""
 
@@ -176,10 +192,10 @@ class JittedAgent:
 
         self._encode_text = jax.jit(
             functools.partial(encode_text, cfg=cfg, train=False))
-        self._encode_pano_eval = jax.jit(functools.partial(
-            encode_panorama, cfg=cfg, train_sampling=False))
-        self._encode_pano_train = jax.jit(functools.partial(
-            encode_panorama, cfg=cfg, train_sampling=True))
+        self._perceive_eval = jax.jit(functools.partial(
+            perceive, cfg=cfg, train_sampling=False))
+        self._perceive_train = jax.jit(functools.partial(
+            perceive, cfg=cfg, train_sampling=True))
         self._embed_pano = jax.jit(
             functools.partial(embed_panorama, cfg=cfg, train=False))
         self._score_nav = jax.jit(
@@ -189,13 +205,14 @@ class JittedAgent:
         return self._encode_text(self.params, txt_ids=jnp.asarray(txt_ids),
                                  txt_masks=jnp.asarray(txt_masks))
 
-    def encode_panorama(self, rgb, depth, sample_rng=None):
+    def perceive(self, rgb, depth, sample_rng=None):
+        """Fused waypoint + panorama step (single device dispatch)."""
         if sample_rng is None:
-            return self._encode_pano_eval(self.params, rgb=jnp.asarray(rgb),
-                                          depth=jnp.asarray(depth))
-        return self._encode_pano_train(self.params, rgb=jnp.asarray(rgb),
-                                       depth=jnp.asarray(depth),
-                                       sample_rng=sample_rng)
+            return self._perceive_eval(self.params, rgb=jnp.asarray(rgb),
+                                       depth=jnp.asarray(depth))
+        return self._perceive_train(self.params, rgb=jnp.asarray(rgb),
+                                    depth=jnp.asarray(depth),
+                                    sample_rng=sample_rng)
 
     def embed_panorama(self, vp_feats):
         return self._embed_pano(self.params, vp_feats=vp_feats)

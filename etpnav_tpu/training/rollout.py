@@ -165,19 +165,16 @@ class RolloutEngine:
             rgb = np.stack([o["rgb"] for o in obs_list])
             depth = np.stack([o["depth"] for o in obs_list])
 
-            # ---- fused waypoint + pano feature device program ----
+            # ---- fused waypoint + pano perception (ONE device dispatch) --
             sample_rng = self._next_rng() if (train and il.waypoint_aug) \
                 else None
-            wp = self.agent.encode_panorama(rgb, depth, sample_rng)
-            pano = self.agent.embed_panorama(
-                {k: wp[k] for k in ("rgb_fts", "dep_fts", "loc_fts",
-                                    "nav_types", "view_masks")})
+            wp = self.agent.perceive(rgb, depth, sample_rng)
             wp_h = {k: np.asarray(wp[k]) for k in
                     ("cand_valid", "cand_angles", "cand_distances",
                      "cand_img_idx", "rgb_fts", "dep_fts", "loc_fts",
                      "nav_types", "view_masks")}
-            pano_embeds = np.asarray(pano["pano_embeds"], np.float32)
-            avg_pano = np.asarray(pano["avg_pano_embeds"], np.float32)
+            pano_embeds = np.asarray(wp["pano_embeds"], np.float32)
+            avg_pano = np.asarray(wp["avg_pano_embeds"], np.float32)
 
             pos, ori = envs.get_pos_ori()
 

@@ -74,3 +74,17 @@ def test_eval_checkpoint_loop_with_skip_guard(tmp_path):
     assert tr.loaded == [str(ckpts / "ckpt_iter20")]   # iter10 skipped
     assert out[str(ckpts / "ckpt_iter10")]["spl"] == 0.9
     assert os.path.exists(results / "stats_ckpt_20_val_unseen.json")
+
+
+def test_trajectory_utils():
+    from etpnav_tpu.utils.trajectory import (camera_orientations_12,
+                                             densify_path,
+                                             unique_consecutive)
+    path = np.array([[0, 0, 0], [1, 0, 0]], float)
+    dense = densify_path(path, 0.25)
+    assert len(dense) >= 5
+    seg = np.linalg.norm(np.diff(dense, axis=0), axis=1)
+    assert (seg <= 0.25 + 1e-9).all()
+    rig = camera_orientations_12()
+    assert len(rig) == 12 and rig[""][1] == 0.0
+    assert unique_consecutive([[0, 0], [0, 0], [1, 1]]) == [[0, 0], [1, 1]]

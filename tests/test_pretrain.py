@@ -122,3 +122,34 @@ def test_pretrain_loss_decreases():
             first = float(loss) if first is None else first
         last = float(loss)
     assert last < first, (first, last)
+
+
+def test_tensor_parallel_equivalence():
+    """The mp-sharded layout must compute the same loss as unsharded:
+    GSPMD partitioning may not change the math (up to fp reduction
+    order)."""
+    cfg = _tiny_cfg()
+    from etpnav_tpu.training.pretrain import (init_pretrain_params,
+                                              make_optimizer, pretrain_step)
+    # snapshot to host numpy: pretrain_step donates its inputs, and
+    # device_put may alias the source buffer, so each mesh config gets a
+    # fresh copy
+    base_params = jax.tree_util.tree_map(
+        lambda x: np.array(x),
+        init_pretrain_params(jax.random.PRNGKey(0), cfg.planner))
+    sampler = PretrainSampler(SHAPES, seed=3, num_scans=2, scan_size=12)
+    batch = sampler.sample_batch(8, "sap")
+    rng = jax.random.PRNGKey(9)
+
+    losses = {}
+    for dp, mp in ((8, 1), (4, 2), (2, 4)):
+        mesh = meshlib.make_mesh(dp=dp, mp=mp)
+        params = meshlib.shard_params(mesh, base_params)
+        tx = make_optimizer(cfg)
+        opt = tx.init(params)
+        _, _, loss = pretrain_step(params, opt, cfg.planner, tx, "sap",
+                                   meshlib.shard_batch(mesh, batch), rng)
+        losses[(dp, mp)] = float(loss)
+    ref = losses[(8, 1)]
+    for k, v in losses.items():
+        assert v == pytest.approx(ref, rel=2e-4), (k, losses)

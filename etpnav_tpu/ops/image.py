@@ -52,6 +52,38 @@ def apply_obs_transforms(obs: dict, rgb_size: Tuple[int, int] = (224, 224),
     return out
 
 
+def panorama_to_equirect(views: jax.Array, out_size: Tuple[int, int],
+                         hfov_deg: float = 90.0) -> jax.Array:
+    """(..., V, H, W, C) ring of V horizontal views -> (..., h, w, C)
+    equirectangular panorama (CubeMap2Equirect analogue,
+    habitat_extensions/obs_transformers.py:213; here for a V-view ring rig
+    rather than a 6-face cubemap).
+
+    Batched gather: for each output pixel, pick the ring view whose yaw
+    sector contains it and sample by perspective projection (nearest
+    neighbor; jittable, static shapes).
+    """
+    import math
+    V, H, W = views.shape[-4], views.shape[-3], views.shape[-2]
+    oh, ow = out_size
+    # output pixel -> (yaw, pitch)
+    yaw = (jnp.arange(ow) + 0.5) / ow * 2 * jnp.pi - jnp.pi   # [-pi, pi)
+    pitch = (0.5 - (jnp.arange(oh) + 0.5) / oh) * jnp.pi      # [pi/2,-pi/2)
+    yaw_g, pitch_g = jnp.meshgrid(yaw, pitch, indexing="xy")
+    yaw_g = yaw_g.T if yaw_g.shape != (oh, ow) else yaw_g
+    pitch_g = pitch_g.T if pitch_g.shape != (oh, ow) else pitch_g
+
+    sector = 2 * jnp.pi / V
+    view_idx = jnp.round(yaw_g / sector).astype(jnp.int32) % V
+    rel_yaw = yaw_g - view_idx * sector
+    f = (W / 2) / math.tan(math.radians(hfov_deg) / 2)
+    x = f * jnp.tan(rel_yaw) + W / 2
+    y = -f * jnp.tan(pitch_g) / jnp.cos(rel_yaw) + H / 2
+    xi = jnp.clip(x.astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(y.astype(jnp.int32), 0, H - 1)
+    return views[..., view_idx, yi, xi, :]
+
+
 def _cover(cur: Tuple[int, int], target: Tuple[int, int]) -> Tuple[int, int]:
     """Smallest proportional resize covering target (resize shorter side)."""
     ch, cw = cur

@@ -128,3 +128,13 @@ def test_cli_train_tiny(tmp_path, monkeypatch):
     assert "IL_loss" in logs
     import glob
     assert glob.glob(str(tmp_path / "ck" / "ckpt_iter*"))
+
+
+def test_panorama_to_equirect():
+    from etpnav_tpu.ops.image import panorama_to_equirect
+    views = jnp.asarray(
+        np.arange(12 * 8 * 8 * 1).reshape(12, 8, 8, 1) % 255, jnp.uint8)
+    eq = panorama_to_equirect(views, (16, 48))
+    assert eq.shape == (16, 48, 1)
+    batched = panorama_to_equirect(jnp.stack([views, views]), (8, 24))
+    assert batched.shape == (2, 8, 24, 1)

@@ -167,13 +167,22 @@ class FinetuneTrainer:
     def __init__(self, cfg: ExperimentConfig, envs, *,
                  params: Optional[AgentParams] = None,
                  ckpt_dir: str = "checkpoints", seed: int = 0,
-                 tb_dir: Optional[str] = None):
+                 tb_dir: Optional[str] = None, mesh=None):
+        """mesh: optional jax.sharding.Mesh for SPMD training — the learn
+        step shards the recorded batch over 'dp' and lays planner params
+        out by parallel/mesh.py rules (replacing the reference's DDP,
+        ss_trainer_ETP.py:208-213). Rollout inference stays per-host."""
         from etpnav_tpu.utils.logging import StepTimer, TensorboardLogger
         self.cfg = cfg
         self.envs = envs
         self.ckpt_dir = ckpt_dir
+        self.mesh = mesh
         key = jax.random.PRNGKey(seed)
         self.params = params or init_agent_params(key, cfg)
+        if mesh is not None:
+            from etpnav_tpu.parallel import mesh as meshlib
+            self.params = self.params._replace(
+                planner=meshlib.shard_params(mesh, self.params.planner))
         self.agent = JittedAgent(cfg, self.params)
         if isinstance(envs, (list, tuple)):
             # pipelined mode: one engine per env pool, threaded overlap of
@@ -208,6 +217,9 @@ class FinetuneTrainer:
                                       gt_paths=gt_paths)
             with self.timer.phase("learn"):
                 batch = record_to_batch(rec)
+                if self.mesh is not None:
+                    from etpnav_tpu.parallel import mesh as meshlib
+                    batch = meshlib.shard_batch(self.mesh, batch)
                 self.rng, sub = jax.random.split(self.rng)
                 new_planner, self.opt_state, loss = learn_step(
                     self.params.planner, self.opt_state, self.cfg, self.tx,

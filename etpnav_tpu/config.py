@@ -9,7 +9,7 @@ and vlnce_baselines/models/etp/vlnbert_init.py:38-59 in the reference.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -61,7 +61,6 @@ class FeatureExtractor:
     """Batched TPU feature extraction over rendered panoramas."""
 
     def __init__(self, cfg, agent_params, batch_panos: int = 8):
-        import functools
         import jax
         from etpnav_tpu.models import clip_vit, depth_resnet
         self.cfg = cfg

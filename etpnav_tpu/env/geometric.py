@@ -150,7 +150,16 @@ class GeometricNavEnv:
         for g in self._live:
             ep = self._make_episode(g)
             self._episodes[g] = ep
-            self._worlds[g] = _World(hash(ep.scene_id) % (2**31))
+            # deterministic scene hash (python hash() is process-salted)
+            import zlib
+            world = _World(zlib.crc32(ep.scene_id.encode()) % (2**31))
+            # carve a corridor along the reference path so ground-truth
+            # trajectories are navigable by construction (as in real data);
+            # off-path obstacles remain to exercise collision/tryout
+            world.obstacles = self._carve_corridor(
+                world.obstacles, ep.reference_path,
+                world.radius + AGENT_RADIUS + FORWARD_M)
+            self._worlds[g] = world
             self._pos[g] = ep.start_position
             self._heading[g] = ep.start_heading
             self._collisions[g] = 0
@@ -160,6 +169,23 @@ class GeometricNavEnv:
             self._path_progress[g] = 0
             obs.append(self._observation(g))
         return obs
+
+    @staticmethod
+    def _carve_corridor(obstacles: np.ndarray, path, clearance: float
+                        ) -> np.ndarray:
+        """Remove obstacles within `clearance` of the path polyline."""
+        if len(path) < 2 or len(obstacles) == 0:
+            return obstacles
+        keep = np.ones(len(obstacles), bool)
+        for a, b in zip(path, path[1:]):
+            a2, b2 = a[[0, 2]], b[[0, 2]]
+            seg = b2 - a2
+            L2 = max(float(seg @ seg), 1e-12)
+            t = np.clip(((obstacles - a2) @ seg) / L2, 0.0, 1.0)
+            closest = a2 + t[:, None] * seg
+            d = np.linalg.norm(obstacles - closest, axis=1)
+            keep &= d > clearance
+        return obstacles[keep]
 
     # ------------------------------------------------------------ rendering
 
@@ -345,6 +371,12 @@ class GeometricNavEnv:
         if rel > math.pi:
             rel -= 2 * math.pi
         if abs(rel) <= math.radians(TURN_DEG):
+            # probe the forward cell; sidestep if a pillar blocks it
+            h = self._heading[g]
+            nxt = self._pos[g] + np.array(
+                [-FORWARD_M * math.sin(h), 0.0, -FORWARD_M * math.cos(h)])
+            if self._worlds[g].blocked(nxt[[0, 2]]):
+                return self.LOW_LEFT
             return self.LOW_FWD
         return self.LOW_LEFT if rel > 0 else self.LOW_RIGHT
 

@@ -16,8 +16,6 @@ from __future__ import annotations
 import logging
 from typing import List, Optional
 
-import numpy as np
-
 logger = logging.getLogger(__name__)
 
 

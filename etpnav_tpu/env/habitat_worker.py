@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import math
 import random
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 
@@ -301,7 +301,6 @@ class HabitatVectorEnv:
                 episodes_allowed=None):
         import habitat
         from etpnav_tpu.env.vector import ProcessVectorEnv
-        from etpnav_tpu.env.habitat_adapter import shard_scenes
 
         base = habitat.get_config()   # caller-supplied task config in cfg
         factories = []

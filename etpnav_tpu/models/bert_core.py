@@ -29,7 +29,6 @@ from etpnav_tpu.ops.attention import (
     mha,
     self_attention_block,
     self_attention_block_init,
-    attention_output_init,
 )
 
 

@@ -14,7 +14,7 @@ checkpoint surgery (resnet_encoders.py:40-47): backbone.*, compression.*.
 
 from __future__ import annotations
 
-from typing import Mapping, Tuple
+from typing import Mapping
 
 import jax
 import jax.numpy as jnp

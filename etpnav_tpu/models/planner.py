@@ -14,7 +14,7 @@ shapes); ragged assembly happens host-side in etpnav_tpu.graph.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +37,6 @@ from etpnav_tpu.ops.attention import (
     self_attention_block_init,
 )
 from etpnav_tpu.ops.basic import (
-    NEG_INF,
     layer_norm,
     linear,
     linear_init,

@@ -15,7 +15,6 @@ host-side .nonzero() loops become fixed-slot masked arrays.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ formulation (attention backward is matmul-dominated; XLA fuses it well).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

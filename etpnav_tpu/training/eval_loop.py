@@ -14,7 +14,7 @@ import json
 import os
 import re
 import time
-from typing import Callable, Dict, Optional, Set
+from typing import Dict, Optional, Set
 
 
 def checkpoint_index(path: str) -> int:

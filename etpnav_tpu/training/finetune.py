@@ -19,7 +19,6 @@ ss_trainer_ETP.py:463,502-506).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import json
 import os

@@ -14,7 +14,7 @@ fp32 params/optimizer; no GradScaler needed.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -131,10 +131,7 @@ class GeometricNavEnv:
             nxt = path[-1] + np.array(
                 [-step * math.sin(heading), 0.0, -step * math.cos(heading)])
             path.append(nxt)
-        tokens = np.full(self.max_instr_len, self.pad_id, np.int64)
-        n_tok = int(g.integers(4, self.max_instr_len))
-        lo = 3 if self.pad_id <= 2 else 0
-        tokens[:n_tok] = g.integers(lo, self.vocab_size, n_tok)
+        tokens = self._encode_instruction(path)
         return Episode(
             episode_id=str(eseed), scene_id=f"scene{eseed % 7}",
             instruction_tokens=tokens,
@@ -144,6 +141,28 @@ class GeometricNavEnv:
             reference_path=[p.copy() for p in path],
             instruction_id=eseed,
         )
+
+    def _encode_instruction(self, path) -> np.ndarray:
+        """A learnable synthetic 'language': the gt path rendered as a
+        token sequence of (direction, distance) pairs.
+
+        Token map: 2=[CLS], 3=[SEP], 10+d = absolute direction sector
+        d in [0,12), 30+q = segment length quantized to 0.5 m buckets.
+        Together with the compass cue in the rendered views this makes the
+        synthetic task genuinely instruction-conditional (unlike random
+        tokens), so end-to-end IL can be validated without habitat."""
+        tokens = np.full(self.max_instr_len, self.pad_id, np.int64)
+        out = [2]
+        for a, b in zip(path, path[1:]):
+            d = b - a
+            heading = math.atan2(-d[0], -d[2]) % (2 * math.pi)
+            sector = int(round(heading / (2 * math.pi / 12))) % 12
+            q = min(int(np.linalg.norm(d) / 0.5), 15)
+            out.extend((10 + sector, 30 + q))
+        out.append(3)
+        n = min(len(out), self.max_instr_len)
+        tokens[:n] = out[:n]
+        return tokens
 
     def reset(self) -> List[Dict[str, np.ndarray]]:
         obs = []
@@ -190,8 +209,16 @@ class GeometricNavEnv:
     # ------------------------------------------------------------ rendering
 
     def _observation(self, g: int) -> Dict[str, np.ndarray]:
-        """12-view RGB-D panorama + instruction tokens. Pixels are a cheap
-        deterministic function of (pos, view) so encoders see varied input."""
+        """12-view RGB-D panorama + instruction tokens.
+
+        The pixels carry learnable structure, not just texture:
+        - a compass cue: each view's green channel encodes the *absolute*
+          world heading that view faces (so the agent can ground the
+          instruction's absolute direction tokens),
+        - a goal beacon: the red channel brightens when the goal is within
+          5 m and inside the view sector (grounds the stop decision),
+        - depth encodes distance to the nearest obstacle in the sector.
+        """
         ep = self._episodes[g]
         pos = self._pos[g]
         key = (int(pos[0] * 7.3) * 31 + int(pos[2] * 7.3)) % (2**16)
@@ -201,16 +228,37 @@ class GeometricNavEnv:
                        np.float32)
         lin = np.linspace(0, 1, self.image_size, dtype=np.float32)
         lin_d = np.linspace(0, 1, self.depth_size, dtype=np.float32)
+        gvec = ep.goal_position - pos
+        goal_dist = math.hypot(gvec[0], gvec[2])
+        goal_head = math.atan2(-gvec[0], -gvec[2]) % (2 * math.pi)
+        world = self._worlds[g]
         for v in range(self.num_views):
+            # view v faces heading + v * 30deg (counter-clockwise)
+            view_head = (self._heading[g] + v * 2 * math.pi
+                         / self.num_views) % (2 * math.pi)
+            compass = 0.5 + 0.5 * math.cos(view_head)
+            compass2 = 0.5 + 0.5 * math.sin(view_head)
+            ang_to_goal = abs((view_head - goal_head + math.pi)
+                              % (2 * math.pi) - math.pi)
+            beacon = max(0.0, 1.0 - goal_dist / 5.0) \
+                if ang_to_goal < math.pi / 6 else 0.0
             phase = (key + v * 997) % 251 / 251.0
-            img = (np.add.outer(lin, lin * (1 + phase)) * 127.5
-                   + 127.5 * phase)
+            tex = np.add.outer(lin, lin * (1 + phase)) / 2.0   # [0,1]
             rgb[v] = np.stack([
-                img.astype(np.uint8),
-                ((img * 0.7 + 40 * phase) % 255).astype(np.uint8),
-                ((img * 0.4 + 90 * phase) % 255).astype(np.uint8)], -1)
-            dmap = (np.add.outer(lin_d * phase, lin_d) / 2.0)
-            dep[v] = dmap[..., None] % 1.0
+                np.clip(80 * tex + 175 * beacon, 0, 255).astype(np.uint8),
+                np.clip(60 * tex + 195 * compass, 0, 255).astype(np.uint8),
+                np.clip(60 * tex + 195 * compass2, 0, 255).astype(np.uint8),
+            ], -1)
+            # nearest obstacle distance in this sector (crude raycast)
+            ray = np.array([-math.sin(view_head), -math.cos(view_head)])
+            rel = world.obstacles - pos[[0, 2]][None]
+            along = rel @ ray
+            perp = np.abs(rel[:, 0] * ray[1] - rel[:, 1] * ray[0])
+            hits = along[(along > 0) & (perp < world.radius + 0.3)]
+            obst_d = float(hits.min()) if hits.size else 10.0
+            dmap = np.clip(np.add.outer(lin_d * 0.2, lin_d * 0.2)
+                           + obst_d / 10.0, 0, 1)
+            dep[v] = dmap[..., None].astype(np.float32)
         return {
             "rgb": rgb, "depth": dep,
             "instruction": self._episodes[g].instruction_tokens.copy(),

@@ -36,18 +36,39 @@ def _build_ss_etp(cfg, args):
         habitat_available
     from etpnav_tpu.training.finetune import FinetuneTrainer
 
-    if habitat_available():
-        envs = make_habitat_envs(cfg, num_envs=args.num_envs)
-    else:
-        logger.warning("habitat-sim not available; using GeometricNavEnv")
-        envs = GeometricNavEnv(
-            num_envs=args.num_envs, seed=cfg.seed,
+    halves = max(getattr(args, "pipeline_halves", 1), 1)
+    per_pool = args.num_envs // halves
+
+    def make_pool(i):
+        if habitat_available():
+            return make_habitat_envs(cfg, num_envs=per_pool)
+        if getattr(args, "workers", False):
+            from etpnav_tpu.env.vector import construct_geometric_envs
+            return construct_geometric_envs(
+                per_pool, workers=True, seed=cfg.seed + i,
+                vocab_size=cfg.planner.vocab_size,
+                max_instr_len=cfg.il.max_text_len,
+                image_size=cfg.clip.image_size,
+                depth_size=cfg.depth.input_size,
+                pad_id=cfg.planner.pad_token_id)
+        return GeometricNavEnv(
+            num_envs=per_pool, seed=cfg.seed + i,
             vocab_size=cfg.planner.vocab_size,
             max_instr_len=cfg.il.max_text_len,
             image_size=cfg.clip.image_size,
             depth_size=cfg.depth.input_size,
             pad_id=cfg.planner.pad_token_id)
-    return FinetuneTrainer(cfg, envs, ckpt_dir=args.ckpt_dir, seed=cfg.seed)
+
+    if not habitat_available():
+        logger.warning("habitat-sim not available; using GeometricNavEnv")
+    envs = make_pool(0) if halves == 1 else [make_pool(i)
+                                             for i in range(halves)]
+    mesh = None
+    if cfg.mesh.mp > 1 or cfg.mesh.dp > 1:
+        from etpnav_tpu.parallel import mesh as meshlib
+        mesh = meshlib.make_mesh(dp=cfg.mesh.dp, mp=cfg.mesh.mp)
+    return FinetuneTrainer(cfg, envs, ckpt_dir=args.ckpt_dir,
+                           seed=cfg.seed, mesh=mesh)
 
 
 @register_trainer("Pretrain")
@@ -73,6 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--trainer", default="SS-ETP",
                     choices=sorted(TRAINER_REGISTRY))
     ap.add_argument("--num-envs", type=int, default=8)
+    ap.add_argument("--workers", action="store_true",
+                    help="multi-process env workers (env/vector.py)")
+    ap.add_argument("--pipeline-halves", type=int, default=1,
+                    help="split envs into N threaded rollout pools "
+                         "(training/pipeline.py)")
     ap.add_argument("--ckpt-dir", default="checkpoints")
     ap.add_argument("--ckpt", default=None, help="checkpoint to load")
     ap.add_argument("--episode-count", type=int, default=-1)

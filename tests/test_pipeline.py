@@ -72,3 +72,26 @@ def test_async_step_api():
         assert not np.allclose(pos0, pos1)
     finally:
         envs.close()
+
+
+def test_rollout_engine_over_process_workers():
+    """Full eval rollout through the multi-process env pool (engine ->
+    batched RPC -> workers)."""
+    from etpnav_tpu.env.vector import construct_geometric_envs
+    cfg = tiny_config()
+    envs = construct_geometric_envs(
+        2, workers=True, seed=31, vocab_size=cfg.planner.vocab_size,
+        max_instr_len=cfg.il.max_text_len, image_size=cfg.clip.image_size,
+        depth_size=cfg.depth.input_size, pad_id=cfg.planner.pad_token_id)
+    try:
+        params = init_agent_params(jax.random.PRNGKey(0), cfg)
+        agent = JittedAgent(cfg, params)
+        eng = RolloutEngine(cfg, agent, envs, seed=0)
+        stats = {}
+        eng.run("eval", stat_eps=stats)
+        assert len(stats) >= 2
+        # train mode exercises the batched candidate oracle fan-out
+        rec = eng.run("train", sample_ratio=1.0)
+        assert rec.step_valid[:, 0].all()
+    finally:
+        envs.close()

@@ -162,7 +162,9 @@ def forward_txt(params: dict, cfg: PlannerConfig, txt_ids: jax.Array,
                         hidden_dropout=cfg.hidden_dropout, rng=r1,
                         train=train)
     bias = mask_to_bias(txt_masks)[:, None, None, :]
-    if cfg.use_bf16 and not train:
+    # bf16 activations in train too (the reference trains under AMP
+    # fp16, ss_trainer_ETP.py:463,502-506); params stay fp32 masters
+    if cfg.use_bf16:
         x = x.astype(jnp.bfloat16)
     return bert_stack(params["lang_encoder"], x, bias, _lang_dims(cfg),
                       rng=r2, train=train).astype(jnp.float32)
@@ -205,7 +207,7 @@ def forward_panorama(params: dict, cfg: PlannerConfig, rgb_fts: jax.Array,
     pano_dims = BertDims(cfg.hidden_size, cfg.num_heads,
                          cfg.intermediate_size, 1e-5, cfg.hidden_dropout,
                          cfg.attn_dropout)
-    if cfg.use_bf16 and not train:
+    if cfg.use_bf16:
         x = x.astype(jnp.bfloat16)
     x = prenorm_stack(ie["pano_encoder"], x, bias, pano_dims,
                       cfg.vis_layer_norm_eps, rng=r2, train=train)
@@ -362,7 +364,7 @@ def forward_navigation(params: dict, cfg: PlannerConfig,
         sprel = gmap_pair_dists[..., None] * sl["w"][0, 0] + sl["b"][0]
         visn_bias = visn_bias + sprel[..., 0][:, None, :, :]
 
-    dtype = jnp.bfloat16 if (cfg.use_bf16 and not train) else x.dtype
+    dtype = jnp.bfloat16 if cfg.use_bf16 else x.dtype
     gmap_embeds = _x_stack(ge["encoder"], cfg, x.astype(dtype),
                            txt_embeds.astype(dtype), txt_bias, visn_bias,
                            rng=r1, train=train).astype(jnp.float32)

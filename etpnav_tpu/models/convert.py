@@ -220,6 +220,48 @@ def convert_waypoint(state_dict: Mapping, num_layers: int = 2) -> dict:
     }
 
 
+def convert_full_policy(state_dict: Mapping, planner_cfg=None,
+                        clip_cfg=None, depth_cfg=None) -> dict:
+    """Released *fine-tune* checkpoint (ss_trainer_ETP.py:74-83 layout:
+    {'state_dict': policy params with net./module. prefixes}) -> dict of
+    {'planner', 'clip', 'depth'} param trees. The policy owns the frozen
+    encoders as submodules (Policy_ViewSelection_ETP.py:118-139):
+    net.depth_encoder.visual_encoder.*, net.rgb_encoder.model.visual.*,
+    net.vln_bert.*.
+    """
+    from etpnav_tpu import config as C
+    from etpnav_tpu.models.clip_vit import convert_openai_clip
+    from etpnav_tpu.models.depth_resnet import convert_ddppo_depth
+
+    if "state_dict" in state_dict:
+        state_dict = state_dict["state_dict"]
+    flat = {}
+    for k, v in state_dict.items():
+        for p in ("module.", "net."):
+            if k.startswith(p):
+                k = k[len(p):]
+        flat[k] = v
+
+    planner_sd = {k[len("vln_bert."):]: v for k, v in flat.items()
+                  if k.startswith("vln_bert.")}
+    depth_sd = {k[len("depth_encoder.visual_encoder."):]: v
+                for k, v in flat.items()
+                if k.startswith("depth_encoder.visual_encoder.")}
+    clip_sd = {k[len("rgb_encoder.model."):]: v for k, v in flat.items()
+               if k.startswith("rgb_encoder.model.")}
+
+    pc = planner_cfg or C.r2r_config().planner
+    out = {"planner": convert_planner(planner_sd, pc.num_l_layers,
+                                      pc.num_pano_layers, pc.num_x_layers)}
+    if depth_sd:
+        out["depth"] = convert_ddppo_depth(
+            depth_sd, depth_cfg or C.r2r_config().depth)
+    if clip_sd:
+        out["clip"] = convert_openai_clip(
+            clip_sd, clip_cfg or C.r2r_config().clip)
+    return out
+
+
 def convert_hf_bert_encoder(state_dict: Mapping, num_layers: int) -> dict:
     """HF transformers BertModel state_dict -> our embeddings + stacked
     layers; used for golden parity tests and tokenizer-compatible init."""

@@ -23,6 +23,11 @@ jax.config.update("jax_platforms", "cpu")
 # fp32 parity tests need true-fp32 matmuls (default precision truncates to
 # bf16 on some backends); bf16 perf paths pass bf16 inputs and are unaffected.
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compilation cache: repeat suite runs skip XLA compiles
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 @pytest.fixture

@@ -297,3 +297,17 @@ def _make_reference_state_dict(cfg: PlannerConfig):
     # emulate DDP prefix on a few keys to exercise stripping
     return {("module." + k if i % 2 else k): v
             for i, (k, v) in enumerate(sd.items())}
+
+
+def test_convert_full_policy_splits_submodules():
+    """Fine-tune checkpoint layout: net.vln_bert.* + frozen encoder
+    submodules -> separate param trees (models/convert.py)."""
+    from etpnav_tpu.models.convert import convert_full_policy
+    sd = _make_reference_state_dict(CFG)
+    wrapped = {"state_dict": {f"net.vln_bert.{k}": v
+                              for k, v in sd.items()}}
+    out = convert_full_policy(wrapped, planner_cfg=CFG)
+    assert set(out) == {"planner"}
+    p0 = planner.init_planner_params(jax.random.PRNGKey(0), CFG)
+    assert jax.tree_util.tree_structure(out["planner"]) == \
+        jax.tree_util.tree_structure(p0)

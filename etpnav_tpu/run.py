@@ -103,6 +103,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--ckpt", default=None, help="checkpoint to load")
     ap.add_argument("--episode-count", type=int, default=-1)
     ap.add_argument("--predictions-file", default="predictions.json")
+    ap.add_argument("--gt-path", default=None,
+                    help="{split}_gt.json.gz with reference locations "
+                         "(ndtw supervision / eval)")
     ap.add_argument("opts", nargs="*", help="SECTION.key=value overrides")
     return ap
 
@@ -120,11 +123,16 @@ def run(args=None):
     if args.ckpt:
         trainer.load_checkpoint(args.ckpt)
 
+    gt_paths = None
+    if args.gt_path:
+        from etpnav_tpu.data.episodes import load_gt_paths
+        gt_paths = load_gt_paths(args.gt_path)
+
     if args.run_type == "train":
         if hasattr(trainer, "train_steps"):   # pretrain
             logs = trainer.train_steps(cfg.pretrain.num_train_steps)
         else:
-            logs = trainer.train()
+            logs = trainer.train(gt_paths=gt_paths)
             os.makedirs(args.ckpt_dir, exist_ok=True)
             trainer.save_checkpoint(os.path.join(
                 args.ckpt_dir, f"ckpt_iter{trainer.iteration}"))
@@ -132,7 +140,7 @@ def run(args=None):
         return logs
     elif args.run_type == "eval":
         n = args.episode_count if args.episode_count > 0 else 100
-        stats = trainer.evaluate(n)
+        stats = trainer.evaluate(n, gt_paths=gt_paths)
         logger.info("eval: %s", stats)
         return stats
     else:

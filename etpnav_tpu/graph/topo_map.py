@@ -279,56 +279,56 @@ class TopoMap:
         pair = np.zeros((G, G), np.float32)
 
         base_heading = heading_from_quaternion(cur_ori_xyzw)
-        # per-slot position + shortest path features
-        headings, elevations = [], []
-        front_cache: Dict[int, Tuple[float, int]] = {}
-        for si, (kind, idx) in enumerate(slots):
-            mask[si] = True
-            if kind == "stop":
-                headings.append(0.0)
-                elevations.append(0.0)
-                continue
-            if kind == "node":
-                tgt = self.node_pos[idx]
-                sp_dist = self.distance(cur_node, idx)
-                sp_step = self.hops(cur_node, idx) + 1  # nx path length
-                img_fts[si] = self.node_embeds[idx]
-                step_ids[si] = self.node_step[idx]
-                visited[si] = True
-            else:
-                g = self.ghosts[idx]
-                tgt = g.aug_pos
-                fd, fn = self.front_to_ghost(idx)
-                front_cache[idx] = (fd, fn)
-                sp_dist = self.distance(cur_node, fn) + fd
-                sp_step = (self.hops(cur_node, fn) + 1) + 1
-                img_fts[si] = self.ghost_embed(idx)
-            h, e, d = rel_pos_features(cur_pos, tgt, base_heading, 0.0,
-                                       to_clock=True)
-            headings.append(h)
-            elevations.append(e)
-            pos_fts[si, 4] = d / MAX_DIST
-            pos_fts[si, 5] = sp_dist / MAX_DIST
-            pos_fts[si, 6] = sp_step / MAX_STEP
-        # stop slot gets angle features of (0,0) = [0,1,0,1] and zero dist
-        # features, exactly like the None entry in graph_utils.py:283-285
-        pos_fts[:len(slots), :4] = angle_features(
-            np.array(headings), np.array(elevations))
-
-        # pairwise distances (ss_trainer_ETP.py:371-387), vectorized:
-        # an "anchor" node for every slot (the slot's own node, or a ghost's
-        # nearest front node) + an additive offset (0 for nodes, front->ghost
-        # distance for ghosts); pair = offset_i + D[anchor_i, anchor_j]
-        # + offset_j, symmetric by construction.
         n_slots = len(slots)
+        mask[:n_slots] = True
+        node_sis = [si for si, (k, _) in enumerate(slots) if k == "node"]
+        node_ids = [i for k, i in slots if k == "node"]
+        ghost_sis = [si for si, (k, _) in enumerate(slots) if k == "ghost"]
+        ghost_ids = [i for k, i in slots if k == "ghost"]
+
+        # "anchor" node per slot (the slot's own node, or a ghost's nearest
+        # front node) + additive offset (0 / front->ghost distance):
+        # shortest_dist(slot) = D[cur, anchor] + offset, and
+        # pair = offset_i + D[anchor_i, anchor_j] + offset_j.
         anchors = np.zeros(n_slots, np.int64)
         offsets = np.zeros(n_slots, np.float64)
-        for si, (kind, idx) in enumerate(slots):
-            if kind == "node":
-                anchors[si] = idx
-            elif kind == "ghost":
-                fd, fn = front_cache[idx]
-                anchors[si], offsets[si] = fn, fd
+        targets = np.zeros((n_slots, 3))
+        if node_sis:
+            anchors[node_sis] = node_ids
+            targets[node_sis] = [self.node_pos[i] for i in node_ids]
+            img_fts[node_sis] = [self.node_embeds[i] for i in node_ids]
+            step_ids[node_sis] = [self.node_step[i] for i in node_ids]
+            visited[node_sis] = True
+        extra_hops = np.zeros(n_slots, np.int64)
+        if ghost_sis:
+            fronts = [self.front_to_ghost(i) for i in ghost_ids]
+            anchors[ghost_sis] = [fn for _, fn in fronts]
+            offsets[ghost_sis] = [fd for fd, _ in fronts]
+            targets[ghost_sis] = [self.ghosts[i].aug_pos for i in ghost_ids]
+            img_fts[ghost_sis] = [self.ghost_embed(i) for i in ghost_ids]
+            extra_hops[ghost_sis] = 1   # ghost path step = hops(front)+2
+
+        # vectorized relative-position features (graph_utils.py:278-322):
+        # heading/elevation math of rel_pos_features over all slots at once
+        d3 = targets[1:n_slots] - np.asarray(cur_pos, np.float64)[None]
+        xz = np.maximum(np.hypot(d3[:, 0], d3[:, 2]), 1e-8)
+        xyz = np.maximum(np.linalg.norm(d3, axis=1), 1e-8)
+        heads = np.arcsin(-d3[:, 0] / xz)
+        heads = np.where(d3[:, 2] > 0, np.pi - heads, heads)
+        heads = 2.0 * np.pi - (heads - base_heading)      # to_clock
+        elevs = np.arcsin(d3[:, 2] / xyz)                 # ref quirk: dz
+        headings = np.concatenate([[0.0], heads])
+        elevations = np.concatenate([[0.0], elevs])
+        # stop slot gets angle features of (0,0) = [0,1,0,1] and zero dist
+        # features, exactly like the None entry in graph_utils.py:283-285
+        pos_fts[:n_slots, :4] = angle_features(headings, elevations)
+        pos_fts[1:n_slots, 4] = xyz / MAX_DIST
+        sp_dist = (self._dist[cur_node, anchors[1:n_slots]]
+                   + offsets[1:n_slots])
+        sp_step = (self._hops[cur_node, anchors[1:n_slots]] + 1
+                   + extra_hops[1:n_slots])
+        pos_fts[1:n_slots, 5] = sp_dist / MAX_DIST
+        pos_fts[1:n_slots, 6] = sp_step / MAX_STEP
         from etpnav_tpu import native
         block = native.pairwise_assemble(self._dist, anchors[1:],
                                          offsets[1:], MAX_DIST)

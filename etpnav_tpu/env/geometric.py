@@ -93,6 +93,8 @@ class GeometricNavEnv:
             [] for _ in range(num_envs)]
         self._heading_log: List[List[float]] = [[] for _ in range(num_envs)]
         self._path_progress = [0] * num_envs
+        self._ndtw_progress: Dict[int, int] = {}
+        self._ndtw_subgoal: Dict[int, np.ndarray] = {}
 
     # ------------------------------------------------------------------ mgmt
 
@@ -186,6 +188,8 @@ class GeometricNavEnv:
             self._positions_log[g] = [self._pos[g].copy()]
             self._heading_log[g] = [float(self._heading[g])]
             self._path_progress[g] = 0
+            self._ndtw_progress.pop(g, None)
+            self._ndtw_subgoal.pop(g, None)
             obs.append(self._observation(g))
         return obs
 
@@ -492,15 +496,29 @@ class GeometricNavEnv:
 
     def ghost_dist_to_ref(self, env_idx: int, ghost_positions,
                           ref_path) -> int:
-        """ndtw-expert subgoal selection (environments.py:157-192),
-        stateless variant: subgoal = last reference point within 3 m of the
-        agent's progress prefix; returns argmin ghost index."""
+        """ndtw-expert subgoal selection with per-episode progress
+        (environments.py:157-192): among reference points within 3 m that
+        are at/after the tracked progress index, advance along the
+        contiguous run starting at the first such point; the run's end is
+        the subgoal. Returns argmin-distance ghost index."""
         g = self._live[env_idx]
         ref = np.asarray(ref_path)
-        d = np.linalg.norm(ref - self._pos[g][None], axis=1)
+        d = np.array([self._geodesic(self._pos[g], p) for p in ref])
         within = d <= 3.0
-        sub_goal = ref[int(np.flatnonzero(within)[-1])] if within.any() \
-            else ref[0]
-        gd = np.linalg.norm(np.asarray(ghost_positions) - sub_goal[None],
-                            axis=1)
+        progress = self._ndtw_progress.get(g, 0)
+        sub_goal = self._ndtw_subgoal.get(g, ref[0])
+        if within.any():
+            cand = np.flatnonzero(within
+                                  & (np.arange(len(ref)) >= progress))
+            if len(cand) == 0:
+                sub_goal = ref[progress]
+            else:
+                run = np.arange(cand[0], cand[0] + len(cand))
+                contiguous = np.array_equal(run, cand)
+                sub_idx = int(cand[-1]) if contiguous else \
+                    int(cand[np.flatnonzero(run != cand)[0] - 1])
+                sub_goal = ref[sub_idx]
+                self._ndtw_progress[g] = sub_idx
+            self._ndtw_subgoal[g] = sub_goal
+        gd = [self._geodesic(p, sub_goal) for p in ghost_positions]
         return int(np.argmin(gd))

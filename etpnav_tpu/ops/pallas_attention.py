@@ -116,3 +116,113 @@ fused_bias_attention.defvjp(
 
 def supports_pallas() -> bool:
     return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# EXPERIMENTAL — fully-fused post-norm attention block:
+#   y = LN(x + (softmax(qk^T*scale + bias) v) Wo + bo)
+# One VMEM pass per batch element. Status (v5e-1, 2026-08): interpret-mode
+# parity is exact, but the hardware lowering shows NO speedup over XLA's
+# own fusion (1.00x at B=160 L=64, 0.78x at B=64 L=200) AND a numerical
+# discrepancy on-device (suspected Mosaic batched-matmul layout hazard at
+# non-128-multiple L). Not wired into any production path — kept as the
+# starting point for future kernel work; see NOTES_ROUND1.md.
+# ---------------------------------------------------------------------------
+
+def _attn_block_kernel(x_ref, qw_ref, qb_ref, kw_ref, kb_ref, vw_ref,
+                       vb_ref, ow_ref, ob_ref, g_ref, b_ref, bias_ref,
+                       out_ref, *, heads: int, scale: float, eps: float):
+    """Weights arrive pre-split per head — qw (H, D, hd), ow (H, hd, D) —
+    so every head op is a batched dot_general (Mosaic cannot split the
+    minor dim with an in-kernel reshape)."""
+    x = x_ref[0]                                   # (L, D)
+    cdt = x.dtype
+
+    # projections yield (H, hd, L); Mosaic wants batch dims at position 0
+    # of both operands, so everything stays head-leading
+    def proj_hdl(wref, bref):
+        y = jax.lax.dot_general(wref[:].astype(cdt), x,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return (y + bref[:].astype(jnp.float32)[:, :, None]).astype(cdt)
+
+    q = proj_hdl(qw_ref, qb_ref)                   # (H, hd, L)
+    k = proj_hdl(kw_ref, kb_ref)
+    v = proj_hdl(vw_ref, vb_ref)
+
+    # (H,hd,Lq) x (H,hd,Lk) contract hd, batch H -> (H, Lq, Lk)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    logits = logits + bias_ref[0].astype(jnp.float32)[None]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    # (H,Lq,Lk) x (H,hd,Lk) contract Lk, batch H -> (H, Lq, hd)
+    ctx = jax.lax.dot_general(
+        p.astype(cdt), v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(cdt)
+    # (H,Lq,hd) x (H,hd,D) contract hd, batch H -> (H, Lq, D), sum heads
+    out = jax.lax.dot_general(
+        ctx, ow_ref[:].astype(cdt), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    out = jnp.sum(out, axis=0) + ob_ref[0].astype(jnp.float32)
+
+    h = x.astype(jnp.float32) + out
+    mu = jnp.mean(h, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(h - mu), axis=-1, keepdims=True)
+    y = (h - mu) * jax.lax.rsqrt(var + eps)
+    y = y * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def fused_attention_block(x: jax.Array, params: dict, bias: jax.Array,
+                          num_heads: int, eps: float,
+                          interpret: bool = False) -> jax.Array:
+    """x (B, L, D), params = self_attention_block layout
+    ({'attn': {q,k,v}, 'out': {dense, ln}}), bias (B, L, L) ->
+    LN(x + proj(attention(x))). Inference path (no dropout)."""
+    import math
+    B, L, D = x.shape
+    H = num_heads
+    hd = D // H
+    p2 = lambda a: a.reshape(1, -1)
+
+    a = params["attn"]
+    o = params["out"]
+    # pre-split heads outside the kernel (plain XLA reshapes)
+    qw = a["q"]["w"].reshape(D, H, hd).transpose(1, 0, 2)   # (H, D, hd)
+    kw = a["k"]["w"].reshape(D, H, hd).transpose(1, 0, 2)
+    vw = a["v"]["w"].reshape(D, H, hd).transpose(1, 0, 2)
+    qb = a["q"]["b"].reshape(H, hd)
+    kb = a["k"]["b"].reshape(H, hd)
+    vb = a["v"]["b"].reshape(H, hd)
+    ow = o["dense"]["w"].reshape(H, hd, D)                  # (H, hd, D)
+
+    def spec_hw(shape):
+        return pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_attn_block_kernel, heads=H,
+                          scale=1.0 / math.sqrt(hd), eps=eps),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, L, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            spec_hw((H, D, hd)), spec_hw((H, hd)),
+            spec_hw((H, D, hd)), spec_hw((H, hd)),
+            spec_hw((H, D, hd)), spec_hw((H, hd)),
+            spec_hw((H, hd, D)), spec_hw((1, D)),
+            spec_hw((1, D)), spec_hw((1, D)),
+            pl.BlockSpec((1, L, L), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, L, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, qw, qb, kw, kb, vw, vb, ow, p2(o["dense"]["b"]),
+      p2(o["ln"]["scale"]), p2(o["ln"]["bias"]), bias)

@@ -90,3 +90,27 @@ def test_mha_fused_path_matches_default(rng):
         pa.fused_bias_attention = pa_fused
     np.testing.assert_allclose(np.asarray(fused)[mask],
                                np.asarray(ref)[mask], atol=2e-5)
+
+
+def test_fused_attention_block_interpret_parity(rng):
+    """EXPERIMENTAL block kernel (attn + out-proj + residual LN): exact in
+    interpret mode; not used in production paths (see module docstring)."""
+    from etpnav_tpu.ops.attention import (self_attention_block,
+                                          self_attention_block_init)
+    from etpnav_tpu.ops.pallas_attention import fused_attention_block
+    from etpnav_tpu.ops.basic import mask_to_bias
+
+    D, H, B, L = 64, 4, 2, 16
+    params = self_attention_block_init(jax.random.PRNGKey(0), D)
+    x = jnp.asarray(_rand(rng, B, L, D))
+    mask = np.ones((B, L), bool)
+    mask[0, 10:] = False
+    ref = self_attention_block(
+        params, x, H, mask_to_bias(jnp.asarray(mask))[:, None, None, :],
+        1e-12)
+    bias3 = jnp.broadcast_to(
+        mask_to_bias(jnp.asarray(mask))[:, None, :], (B, L, L))
+    ours = fused_attention_block(x, params, bias3, H, 1e-12,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=3e-5)

@@ -225,10 +225,11 @@ class MP3DTrajectoryData:
             out["gmap_pos_fts"][si, 4] = np.linalg.norm(d) / MAX_DIST
             out["gmap_pos_fts"][si, 5] = g.dist[cur, vi] / MAX_DIST
             out["gmap_pos_fts"][si, 6] = (g.hops[cur, vi] + 1) / MAX_STEP
-        for i in range(1, len(slots)):
-            for j in range(i + 1, len(slots)):
-                out["gmap_pair"][i, j] = out["gmap_pair"][j, i] = \
-                    g.dist[slot_vps[i], slot_vps[j]] / MAX_DIST
+        vp_arr = np.asarray(slot_vps[1:], np.int64)
+        if len(vp_arr):
+            block = g.dist[np.ix_(vp_arr, vp_arr)] / MAX_DIST
+            np.fill_diagonal(block, 0.0)
+            out["gmap_pair"][1:len(slots), 1:len(slots)] = block
 
         out["txt_ids"] = np.full(sh.max_txt_len, sh.pad_token_id, np.int64)
         enc = item["instr_encoding"]

@@ -295,10 +295,11 @@ class PretrainSampler:
             gmap_pos[si, 4] = np.linalg.norm(dvec) / MAX_DIST
             gmap_pos[si, 5] = w.dist[cur, vp] / MAX_DIST
             gmap_pos[si, 6] = (w.hops[cur, vp] + 1) / MAX_STEP
-        for i in range(1, len(slots)):
-            for j in range(i + 1, len(slots)):
-                pair[i, j] = pair[j, i] = \
-                    w.dist[slot_vps[i], slot_vps[j]] / MAX_DIST
+        vp_arr = np.asarray([v for v in slot_vps[1:]], np.int64)
+        if len(vp_arr):
+            block = w.dist[np.ix_(vp_arr, vp_arr)] / MAX_DIST
+            np.fill_diagonal(block, 0.0)
+            pair[1:len(slots), 1:len(slots)] = block
 
         # ---- SAP label (dataset.py:390-406) ----
         if traj.end_is_goal:

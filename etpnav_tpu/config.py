@@ -48,6 +48,12 @@ class PlannerConfig:
     max_action_steps: int = 100
     use_depth_embedding: bool = True
     graph_sprels: bool = True
+    # object tokens (REVERIE-style OG pretraining; dataset.py:228-247).
+    # 0 disables object support entirely (ETPNav R2R/RxR path). When > 0
+    # the pano token axis gains object slots with nav_type 2, so
+    # num_nav_types must be 3.
+    obj_feat_size: int = 0
+    num_nav_types: int = 2
 
     # static shape buckets (TPU: fixed shapes, masked padding)
     max_txt_len: int = 80        # r2r 80, rxr 200 (IL.max_text_len)
@@ -159,7 +165,21 @@ class PretrainConfig:
     grad_norm: float = 5.0
     weight_decay: float = 0.01
     mlm_prob: float = 0.15
-    task_ratios: Tuple[float, float] = (1.0, 1.0)   # mlm, sap
+    # proxy tasks + multinomial mix ratios (train_datasets.tasks /
+    # mix_ratio in r2r_pretrain_habitat.json; the shipped config enables
+    # mlm+sap only — mrc/og are available here as working tasks, whereas
+    # the reference keeps them as dormant code, pretrain_cmt.py:59-64
+    # with the required local_encoder commented out, vilmodel.py:663).
+    tasks: Tuple[str, ...] = ("mlm", "sap")
+    task_ratios: Tuple[float, ...] = (1.0, 1.0)
+    mrc_mask_prob: float = 0.15          # r2r_pretrain_habitat.json
+    image_prob_size: int = 1000          # CLIP soft-label dim (dataset.py:363)
+    # optimizer family + schedule (optim/misc.py:26-37, optim/sched.py)
+    optim: str = "adamw"   # adam | adamax | adamw | radam | ralamb | rangerlars
+    lr_sched: str = "warmup_linear"      # warmup_linear | noam
+    betas: Tuple[float, float] = (0.9, 0.98)   # r2r_pretrain_habitat.json
+    lookahead_alpha: float = 0.5         # optim/lookahead.py:13
+    lookahead_k: int = 6
     log_steps: int = 1000
     valid_steps: int = 5000
     # trajectory shape buckets

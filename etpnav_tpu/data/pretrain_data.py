@@ -112,6 +112,27 @@ class SyntheticNavWorld:
             (self.num_views, self.depth_feat_size)).astype(np.float32)
         return img, dep
 
+    def view_probs(self, vp: int, prob_size: int) -> np.ndarray:
+        """(V, prob_size) soft class labels per view — the synthetic stand-in
+        for the CLIP logit columns the reference stores next to the features
+        (dataset.py:210: softmax of img_fts[:, image_feat_size:])."""
+        g = np.random.default_rng(self._feat_seed + 31 * (vp + 1))
+        logits = 3.0 * g.standard_normal((self.num_views, prob_size))
+        e = np.exp(logits - logits.max(1, keepdims=True))
+        return (e / e.sum(1, keepdims=True)).astype(np.float32)
+
+    def objects(self, vp: int, num_objs: int) -> Tuple[np.ndarray,
+                                                       np.ndarray, int]:
+        """(num_objs, img_ft) object features, (num_objs,) headings, and the
+        index of the 'target' object at this viewpoint (synthetic stand-in
+        for REVERIE object annotations, dataset.py:228-247)."""
+        g = np.random.default_rng(self._feat_seed + 101 * (vp + 1))
+        fts = g.standard_normal(
+            (num_objs, self.image_feat_size)).astype(np.float32)
+        headings = g.uniform(0, 2 * np.pi, num_objs)
+        target = int(g.integers(num_objs)) if num_objs else -1
+        return fts, headings, target
+
     def heading_to(self, u: int, v: int) -> float:
         d = self.pos[v] - self.pos[u]
         return float(np.arctan2(-d[0], -d[2]) % (2 * np.pi))
@@ -149,9 +170,21 @@ class PretrainShapes:
     mask_token_id: int = 103          # bert [MASK]
     pad_token_id: int = 0
     mask_vocab_range: Tuple[int, int] = (1996, 29611)  # tasks.py:59
+    # MRC soft-label dim (CLIP logit columns in the reference HDF5,
+    # dataset.py:210,363) + masking prob (r2r_pretrain_habitat.json)
+    image_prob_size: int = 1000
+    mrc_mask_prob: float = 0.15
+    # object tokens per viewpoint for OG (REVERIE-style; 0 = disabled,
+    # matching the ETPNav R2R/RxR pipeline which has no object features)
+    num_objs: int = 0
 
     @property
     def tokens_per_step(self) -> int:
+        return self.num_views + self.max_cands + self.num_objs
+
+    @property
+    def num_view_tokens(self) -> int:
+        """Tokens that are camera views (cand slots + pano views)."""
         return self.num_views + self.max_cands
 
 
@@ -170,7 +203,11 @@ class PretrainSampler:
 
     # ---- single trajectory ----
 
-    def _sample_traj(self) -> Tuple[SyntheticNavWorld, TrajectorySample]:
+    def _sample_traj(self, end_vp_type: Optional[str] = None
+                     ) -> Tuple[SyntheticNavWorld, TrajectorySample]:
+        """end_vp_type None -> SAP mixture (tasks.py:286-293); 'pos' ->
+        always the full path (MrcDataset/OGDataset use end_vp_pos_ratio=1,
+        tasks.py:163,378)."""
         w = self.worlds[self.rng.integers(len(self.worlds))]
         n = len(w.pos)
         while True:
@@ -184,7 +221,7 @@ class PretrainSampler:
             self.sh.mask_vocab_range[0], self.sh.mask_vocab_range[1], L)
         # SAP end-vp sampling (tasks.py:286-293)
         r = self.rng.random()
-        if r < 0.2 or len(full_path) <= 1:
+        if end_vp_type == "pos" or r < 0.2 or len(full_path) <= 1:
             path = full_path
             end_is_goal = True
             gt_next = None
@@ -245,6 +282,17 @@ class PretrainSampler:
                 vp_loc[t, slot] = angle_features(np.array([hv]),
                                                  np.array([0.0]))[0]
                 vp_mask[t, slot] = True
+            # object tokens after the views (REVERIE layout,
+            # dataset.py:228-250: nav_type 2, angle loc features)
+            if sh.num_objs > 0:
+                obj_fts, obj_headings, _ = w.objects(vp, sh.num_objs)
+                base = sh.num_view_tokens
+                for j in range(sh.num_objs):
+                    vp_img[t, base + j] = obj_fts[j]
+                    vp_loc[t, base + j] = angle_features(
+                        np.array([obj_headings[j]]), np.array([0.0]))[0]
+                    vp_nav[t, base + j] = 2
+                    vp_mask[t, base + j] = True
             step_valid[t] = True
             visited[vp] = t + 1
             unvisited.pop(vp, None)
@@ -311,7 +359,16 @@ class PretrainSampler:
                     if vp == traj.gt_next_vp and not gmap_visited[si]:
                         act_label = si
                         break
-        return {
+
+        # ---- local-branch vp position features (dataset.py:348-357):
+        # [stop] + final-step tokens; [:7] = start rel. to cur for every
+        # row, [7:] = candidate rel. to cur on cand rows only ----
+        vp_pos = np.zeros((1 + P, 14), np.float32)
+        vp_pos[:, :7] = _rel7(w, cur, path[0], cur_heading)
+        for k, cvp in enumerate(step_cands[-1]):
+            vp_pos[1 + k, 7:] = _rel7(w, cur, cvp, cur_heading)
+
+        sample = {
             "txt_ids": traj.instr_tokens.copy(),
             "vp_img": vp_img, "vp_dep": vp_dep, "vp_loc": vp_loc,
             "vp_nav": vp_nav, "vp_mask": vp_mask, "step_valid": step_valid,
@@ -319,7 +376,11 @@ class PretrainSampler:
             "gmap_pos_fts": gmap_pos, "gmap_mask": gmap_mask,
             "gmap_visited": gmap_visited, "gmap_pair": pair,
             "global_act_labels": np.int64(act_label),
+            "vp_pos_fts": vp_pos,
+            "last_step": np.int32(len(path) - 1),
         }
+        aux = {"world": w, "path": path, "last_cands": step_cands[-1]}
+        return sample, aux
 
     # ---- task batches ----
 
@@ -329,19 +390,87 @@ class PretrainSampler:
 
     def sample_batch(self, batch_size: int, task: str
                      ) -> Dict[str, np.ndarray]:
-        samples = []
+        sh = self.sh
+        end_vp_type = "pos" if task in ("mrc", "og") else None
+        samples, auxes = [], []
         for _ in range(batch_size):
-            w, traj = self._sample_traj()
-            samples.append(self._assemble(w, traj))
+            w, traj = self._sample_traj(end_vp_type)
+            s, a = self._assemble(w, traj)
+            samples.append(s)
+            auxes.append(a)
         batch = {k: np.stack([s[k] for s in samples])
                  for k in samples[0].keys()}
-        batch["txt_masks"] = batch["txt_ids"] != self.sh.pad_token_id
+        batch["txt_masks"] = batch["txt_ids"] != sh.pad_token_id
         if task == "mlm":
             masked, labels = zip(*[self._mask_tokens(s["txt_ids"])
                                    for s in samples])
             batch["txt_ids"] = np.stack(masked)
             batch["txt_labels"] = np.stack(labels)
+        elif task == "mrc":
+            self._apply_mrc(batch, samples, auxes)
+        elif task == "og":
+            if sh.num_objs <= 0:
+                raise ValueError("og task requires PretrainShapes.num_objs"
+                                 " > 0 (object annotations)")
+            labels = np.zeros(batch_size, np.int64)
+            for i, aux in enumerate(auxes):
+                _, _, target = aux["world"].objects(aux["path"][-1],
+                                                    sh.num_objs)
+                # label indexes the local vp token axis ([stop] at 0)
+                labels[i] = 1 + sh.num_view_tokens + target
+            batch["obj_labels"] = labels
         return batch
+
+    def _apply_mrc(self, batch: Dict[str, np.ndarray], samples, auxes):
+        """MRC masking (tasks.py:142-153,192-194): mask final-step view
+        tokens with prob mrc_mask_prob (>=1), zero their image features,
+        and attach per-token soft labels."""
+        sh = self.sh
+        B = len(samples)
+        P = sh.tokens_per_step
+        mrc_masks = np.zeros((B, P), bool)
+        probs = np.zeros((B, P, sh.image_prob_size), np.float32)
+        for i, (s, aux) in enumerate(zip(samples, auxes)):
+            w = aux["world"]
+            vp = aux["path"][-1]
+            t = int(s["last_step"])
+            vprobs = w.view_probs(vp, sh.image_prob_size)
+            # token -> underlying view (cand slot k uses its cand's view)
+            tok_view = np.full(P, -1, np.int64)
+            for k, cvp in enumerate(aux["last_cands"]):
+                tok_view[k] = w.view_of_heading(w.heading_to(vp, cvp))
+            for v in range(sh.num_views):
+                slot = sh.max_cands + v
+                if s["vp_mask"][t, slot]:
+                    tok_view[slot] = v
+            is_view = (tok_view >= 0) & s["vp_mask"][t]
+            pick = (self.rng.random(P) < sh.mrc_mask_prob) & is_view
+            if not pick.any():
+                pick[int(self.rng.choice(np.flatnonzero(is_view)))] = True
+            mrc_masks[i] = pick
+            probs[i, is_view] = vprobs[tok_view[is_view]]
+            batch["vp_img"][i, t][pick] = 0.0
+        batch["vp_view_mrc_masks"] = mrc_masks
+        batch["vp_view_probs"] = probs
+
+
+def _rel7(w: SyntheticNavWorld, cur: int, tgt: int,
+          cur_heading: float) -> np.ndarray:
+    """7-d relative position features of tgt seen from cur (the
+    get_gmap_pos_fts layout, dataset.py:303-346): angle fts (4), euclidean
+    / shortest distance / hops, normalized."""
+    dvec = w.pos[tgt] - w.pos[cur]
+    xz = max(np.hypot(dvec[0], dvec[2]), 1e-8)
+    heading = np.arcsin(-dvec[0] / xz)
+    if dvec[2] > 0:
+        heading = np.pi - heading
+    heading -= cur_heading
+    out = np.zeros(7, np.float32)
+    out[:4] = angle_features(np.array([heading]), np.array([0.0]))[0]
+    out[4] = np.linalg.norm(dvec) / MAX_DIST
+    out[5] = w.dist[cur, tgt] / MAX_DIST
+    out[6] = (w.hops[cur, tgt] + 1) / MAX_STEP
+    return out
 
 
 def mask_tokens(rng: np.random.Generator, tokens: np.ndarray,
@@ -373,10 +502,11 @@ class MetaSampler:
     """
 
     def __init__(self, sampler: PretrainSampler, batch_size: int,
-                 ratios=(1.0, 1.0), seed: int = 0):
+                 ratios=(1.0, 1.0), seed: int = 0,
+                 tasks=("mlm", "sap")):
         self.sampler = sampler
         self.batch_size = batch_size
-        self.tasks = ["mlm", "sap"]
+        self.tasks = list(tasks)
         p = np.asarray(ratios, np.float64)
         self.p = p / p.sum()
         self.rng = np.random.default_rng(seed)

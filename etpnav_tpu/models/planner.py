@@ -69,7 +69,7 @@ def init_planner_params(key: jax.Array, cfg: PlannerConfig,
                                       cfg.hidden_size),
             "loc_ln": ln_init(cfg.hidden_size),
             "nav_type_embedding": trunc_normal(
-                keys[4], (2, cfg.hidden_size)),
+                keys[4], (cfg.num_nav_types, cfg.hidden_size)),
             "ln": ln_init(cfg.hidden_size),
             "pano_encoder": prenorm_stack_init(
                 keys[5], cfg.num_pano_layers, cfg.hidden_size,
@@ -299,6 +299,87 @@ def lang2visn_stack(params: dict, cfg: PlannerConfig, lang: jax.Array,
                                     train=train), None
         lang, _ = jax.lax.scan(body, lang, (params, rngs))
     return lang
+
+
+def local_encoder_init(key: jax.Array, cfg: PlannerConfig) -> dict:
+    """LocalVPEncoder (pretrain vilmodel.py:537-568): 14-d vp position
+    embedding + CrossmodalEncoder over the final viewpoint's tokens. The
+    reference defines this class but leaves its wiring commented out
+    (vilmodel.py:663,700-704); here it is a live branch used by the MRC/OG
+    proxy tasks."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "vp_pos_embeddings": {
+            "dense": linear_init(k1, cfg.angle_feat_size * 2 + 6,
+                                 cfg.hidden_size),
+            "ln": ln_init(cfg.hidden_size),
+        },
+        "encoder": _x_stack_init(k2, cfg),
+    }
+
+
+def forward_local(params: dict, cfg: PlannerConfig, txt_embeds: jax.Array,
+                  txt_masks: jax.Array, vp_tok_embeds: jax.Array,
+                  vp_tok_masks: jax.Array, vp_pos_fts: jax.Array, *,
+                  rng: Optional[jax.Array] = None,
+                  train: bool = False) -> jax.Array:
+    """LocalVPEncoder.forward (pretrain vilmodel.py:561-568).
+
+    vp_tok_embeds (B,P,D) pano-encoder outputs of the FINAL step,
+    vp_tok_masks (B,P) bool, vp_pos_fts (B,1+P,14) with row 0 = [stop].
+    Returns vp_embeds (B,1+P,D): [stop] token first.
+    """
+    le = params["local_encoder"]
+    B, P, D = vp_tok_embeds.shape
+    stop = jnp.zeros((B, 1, D), vp_tok_embeds.dtype)
+    x = jnp.concatenate([stop, vp_tok_embeds], axis=1)
+    pos = layer_norm(linear(le["vp_pos_embeddings"]["dense"], vp_pos_fts),
+                     le["vp_pos_embeddings"]["ln"]["scale"],
+                     le["vp_pos_embeddings"]["ln"]["bias"],
+                     cfg.vis_layer_norm_eps)
+    x = x + pos
+    masks = jnp.concatenate(
+        [jnp.ones((B, 1), bool), vp_tok_masks], axis=1)
+    txt_bias = mask_to_bias(txt_masks)[:, None, None, :]
+    visn_bias = mask_to_bias(masks)[:, None, None, :]
+    dtype = jnp.bfloat16 if cfg.use_bf16 else x.dtype
+    return _x_stack(le["encoder"], cfg, x.astype(dtype),
+                    txt_embeds.astype(dtype), txt_bias, visn_bias, rng=rng,
+                    train=train).astype(jnp.float32)
+
+
+def region_head_init(key: jax.Array, hidden: int, label_dim: int) -> dict:
+    """RegionClassification for MRC (pretrain_cmt.py:12-23):
+    Linear(h,h), ReLU, LN(1e-12), Linear(h,label_dim)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "dense1": linear_init(k1, hidden, hidden),
+        "ln": ln_init(hidden),
+        "dense2": linear_init(k2, hidden, label_dim),
+    }
+
+
+def region_head(params: dict, x: jax.Array, eps: float) -> jax.Array:
+    h = jax.nn.relu(linear(params["dense1"], x))
+    h = layer_norm(h, params["ln"]["scale"], params["ln"]["bias"], eps)
+    return linear(params["dense2"], h)
+
+
+def cls_head_init(key: jax.Array, hidden: int) -> dict:
+    """ClsPrediction (pretrain_cmt.py:25-35): Linear, ReLU, LN(1e-12),
+    Linear(h,1) — used by the OG head."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "dense1": linear_init(k1, hidden, hidden),
+        "ln": ln_init(hidden),
+        "dense2": linear_init(k2, hidden, 1),
+    }
+
+
+def cls_head(params: dict, x: jax.Array, eps: float) -> jax.Array:
+    h = jax.nn.relu(linear(params["dense1"], x))
+    h = layer_norm(h, params["ln"]["scale"], params["ln"]["bias"], eps)
+    return linear(params["dense2"], h)[..., 0]
 
 
 def mlm_head_init(key: jax.Array, cfg: PlannerConfig) -> dict:

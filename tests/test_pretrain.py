@@ -124,6 +124,108 @@ def test_pretrain_loss_decreases():
     assert last < first, (first, last)
 
 
+MRC_OG_SHAPES = dataclasses.replace(SHAPES, image_prob_size=24, num_objs=3)
+
+
+def _mrc_og_cfg():
+    cfg = _tiny_cfg()
+    pl = dataclasses.replace(cfg.planner, num_nav_types=3, obj_feat_size=32)
+    pt = dataclasses.replace(cfg.pretrain,
+                             tasks=("mlm", "sap", "mrc", "og"),
+                             task_ratios=(1.0, 1.0, 1.0, 1.0),
+                             image_prob_size=24)
+    return dataclasses.replace(cfg, planner=pl, pretrain=pt)
+
+
+def test_mrc_batch_semantics():
+    s = PretrainSampler(MRC_OG_SHAPES, seed=5, num_scans=2, scan_size=12)
+    b = s.sample_batch(4, "mrc")
+    P = MRC_OG_SHAPES.tokens_per_step
+    assert b["vp_view_mrc_masks"].shape == (4, P)
+    assert b["vp_view_probs"].shape == (4, P, 24)
+    for i in range(4):
+        t = int(b["last_step"][i])
+        m = b["vp_view_mrc_masks"][i]
+        assert m.any()                       # at least one masked token
+        # masked tokens are valid view tokens of the final step (no objs)
+        assert b["vp_mask"][i, t][m].all()
+        assert (b["vp_nav"][i, t][m] != 2).all()
+        # their image features were zeroed
+        np.testing.assert_array_equal(b["vp_img"][i, t][m], 0.0)
+        # soft labels are distributions on view tokens
+        is_view = b["vp_view_probs"][i].sum(-1) > 0
+        np.testing.assert_allclose(
+            b["vp_view_probs"][i][is_view].sum(-1), 1.0, atol=1e-5)
+
+
+def test_og_batch_semantics_and_forward():
+    import jax.numpy as jnp
+    from etpnav_tpu.training.pretrain import forward_og, init_pretrain_params
+    s = PretrainSampler(MRC_OG_SHAPES, seed=6, num_scans=2, scan_size=12)
+    b = s.sample_batch(3, "og")
+    base = 1 + MRC_OG_SHAPES.num_view_tokens
+    assert ((b["obj_labels"] >= base)
+            & (b["obj_labels"] < base + MRC_OG_SHAPES.num_objs)).all()
+    cfg = _mrc_og_cfg()
+    params = init_pretrain_params(jax.random.PRNGKey(0), cfg.planner,
+                                  cfg.pretrain.tasks,
+                                  cfg.pretrain.image_prob_size)
+    logits = np.asarray(forward_og(params, cfg.planner, b))
+    # only object slots are scoreable
+    finite = np.isfinite(logits)
+    assert finite[:, base:base + MRC_OG_SHAPES.num_objs].all()
+    assert not finite[:, :base].any()
+
+
+def test_mrc_og_train_steps():
+    from etpnav_tpu.training.pretrain import pretrain_step
+    cfg = _mrc_og_cfg()
+    mesh = meshlib.make_mesh(dp=8, mp=1)
+    tr = PretrainTrainer(cfg, MRC_OG_SHAPES, mesh=mesh, seed=0,
+                         num_scans=2, scan_size=12)
+    for task in ("mrc", "og"):
+        batch = tr.sampler.sample_batch(cfg.pretrain.batch_size, task)
+        tr.rng, sub = jax.random.split(tr.rng)
+        tr.params, tr.opt_state, loss = pretrain_step(
+            tr.params, tr.opt_state, cfg.planner, tr.tx, task,
+            tr._put(batch), sub)
+        assert np.isfinite(float(loss)), task
+
+
+def test_optimizer_families_and_lookahead():
+    import jax.numpy as jnp
+    import optax
+    from etpnav_tpu.training.pretrain import (lookahead, make_optimizer,
+                                              noam_schedule)
+    # noam: ramps to lr at warmup then decays as sqrt(warmup/step)
+    lr = float(noam_schedule(100, 1e-3, 100))
+    assert lr == pytest.approx(1e-3)
+    assert float(noam_schedule(400, 1e-3, 100)) == pytest.approx(5e-4)
+    # every family builds and takes an update
+    for o in ("adam", "adamax", "adamw", "radam", "ralamb", "rangerlars"):
+        cfg = _tiny_cfg()
+        cfg = dataclasses.replace(
+            cfg, pretrain=dataclasses.replace(cfg.pretrain, optim=o))
+        tx = make_optimizer(cfg)
+        params = {"w": jnp.ones((4, 4)), "ln": {"scale": jnp.ones(4)}}
+        state = tx.init(params)
+        u, state = tx.update(jax.tree_util.tree_map(jnp.ones_like, params),
+                             state, params)
+        assert np.isfinite(np.asarray(u["w"])).all(), o
+    # lookahead: slow weights pull fast back every k steps
+    base = optax.sgd(1.0)
+    tx = lookahead(base, alpha=0.5, k=2)
+    p = {"w": jnp.zeros(())}
+    st = tx.init(p)
+    g = {"w": jnp.ones(())}
+    u1, st = tx.update(g, st, p)            # fast: -1
+    p1 = optax.apply_updates(p, u1)
+    assert float(p1["w"]) == -1.0
+    u2, st = tx.update(g, st, p1)           # fast: -2, sync -> slow=-1
+    p2 = optax.apply_updates(p1, u2)
+    assert float(p2["w"]) == -1.0           # pulled halfway back to slow=0
+
+
 def test_tensor_parallel_equivalence():
     """The mp-sharded layout must compute the same loss as unsharded:
     GSPMD partitioning may not change the math (up to fp reduction

@@ -59,6 +59,13 @@ class PlannerConfig:
     max_txt_len: int = 80        # r2r 80, rxr 200 (IL.max_text_len)
     max_vp_len: int = 20         # [stop] + cand(<=5 after NMS) + 12 views
     max_gmap_len: int = 64       # [stop] + nodes + ghosts, bucketed
+    # eval/infer-time graph-length buckets for the navigation program:
+    # each step emits at the smallest bucket that fits the largest live
+    # graph, so early steps run a much smaller attention + G^2 sprel bias
+    # (and ship a smaller pair_dists transfer). () = always max_gmap_len.
+    # Training always uses max_gmap_len (the learn-phase record is one
+    # fixed-shape tensor). jit caches one program per bucket.
+    gmap_len_buckets: Tuple[int, ...] = ()
 
     # compute dtype for the transformer stacks
     use_bf16: bool = True

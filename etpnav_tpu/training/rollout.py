@@ -219,11 +219,22 @@ class RolloutEngine:
                 prev_node[gi] = cur
 
             # ---- emit padded graph arrays, batch, score ----
+            # eval/infer: bucket the emission length to the smallest
+            # configured bucket that fits every live graph (training must
+            # emit at G: the learn-phase record is one fixed-shape tensor)
+            G_step = G
+            if not train and cfg.planner.gmap_len_buckets:
+                need = max(1 + gmaps[live[i]].num_nodes
+                           + len(gmaps[live[i]].ghosts) for i in range(n))
+                fits = [b for b in cfg.planner.gmap_len_buckets
+                        if need <= b < G]
+                G_step = min(fits) if fits else G
             emits = []
             for i in range(n):
                 gi = live[i]
                 cur = prev_node[gi]
-                emits.append(gmaps[gi].emit(cur, pos[i], ori[i], G, Dh))
+                emits.append(gmaps[gi].emit(cur, pos[i], ori[i], G_step,
+                                            Dh))
             gmap_batch = {
                 "img_fts": np.stack([e["img_fts"] for e in emits]),
                 "step_ids": np.stack([e["step_ids"] for e in emits]),

@@ -72,6 +72,29 @@ def test_inference_writes_predictions(trainer, tmp_path):
     assert all(len(p["position"]) == 3 for p in ep)
 
 
+def test_eval_gmap_bucketing_matches_full_size():
+    """gmap_len_buckets must not change eval decisions: padded slots are
+    fully masked, so per-slot logits are identical up to fp reduction
+    order."""
+    import dataclasses
+    stats = {}
+    for buckets in ((), (8, 16)):
+        cfg = tiny_config()
+        cfg = dataclasses.replace(cfg, planner=dataclasses.replace(
+            cfg.planner, gmap_len_buckets=buckets))
+        envs = GeometricNavEnv(
+            num_envs=2, seed=0, vocab_size=cfg.planner.vocab_size,
+            max_instr_len=cfg.il.max_text_len,
+            image_size=cfg.clip.image_size,
+            depth_size=cfg.depth.input_size,
+            pad_id=cfg.planner.pad_token_id)
+        t = FinetuneTrainer(cfg, envs, seed=0)
+        stats[buckets] = t.evaluate(episode_count=2)
+    a, b = stats[()], stats[(8, 16)]
+    for key in ("success", "spl", "ndtw", "steps_taken", "path_length"):
+        assert a[key] == pytest.approx(b[key], abs=1e-6), (key, a, b)
+
+
 def test_checkpoint_roundtrip(trainer, tmp_path):
     path = tmp_path / "ckpt_iter2"
     trainer.save_checkpoint(str(path))

@@ -412,13 +412,9 @@ class PretrainSampler:
             if sh.num_objs <= 0:
                 raise ValueError("og task requires PretrainShapes.num_objs"
                                  " > 0 (object annotations)")
-            labels = np.zeros(batch_size, np.int64)
-            for i, aux in enumerate(auxes):
-                _, _, target = aux["world"].objects(aux["path"][-1],
-                                                    sh.num_objs)
-                # label indexes the local vp token axis ([stop] at 0)
-                labels[i] = 1 + sh.num_view_tokens + target
-            batch["obj_labels"] = labels
+            # labels index the local vp token axis ([stop] at 0)
+            batch["obj_labels"] = np.asarray(
+                [og_slot_label(sh, aux) for aux in auxes], np.int64)
         return batch
 
     def _apply_mrc(self, batch: Dict[str, np.ndarray], samples, auxes):
@@ -431,27 +427,54 @@ class PretrainSampler:
         mrc_masks = np.zeros((B, P), bool)
         probs = np.zeros((B, P, sh.image_prob_size), np.float32)
         for i, (s, aux) in enumerate(zip(samples, auxes)):
-            w = aux["world"]
-            vp = aux["path"][-1]
+            is_view, tok_probs = mrc_token_info(sh, s, aux)
             t = int(s["last_step"])
-            vprobs = w.view_probs(vp, sh.image_prob_size)
-            # token -> underlying view (cand slot k uses its cand's view)
-            tok_view = np.full(P, -1, np.int64)
-            for k, cvp in enumerate(aux["last_cands"]):
-                tok_view[k] = w.view_of_heading(w.heading_to(vp, cvp))
-            for v in range(sh.num_views):
-                slot = sh.max_cands + v
-                if s["vp_mask"][t, slot]:
-                    tok_view[slot] = v
-            is_view = (tok_view >= 0) & s["vp_mask"][t]
-            pick = (self.rng.random(P) < sh.mrc_mask_prob) & is_view
-            if not pick.any():
-                pick[int(self.rng.choice(np.flatnonzero(is_view)))] = True
+            pick = sample_mrc_mask(self.rng, is_view, sh.mrc_mask_prob)
             mrc_masks[i] = pick
-            probs[i, is_view] = vprobs[tok_view[is_view]]
+            probs[i] = tok_probs
             batch["vp_img"][i, t][pick] = 0.0
         batch["vp_view_mrc_masks"] = mrc_masks
         batch["vp_view_probs"] = probs
+
+
+def mrc_token_info(sh: PretrainShapes, sample: Dict[str, np.ndarray],
+                   aux: dict) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-token MRC metadata for the final step: which tokens are camera
+    views (maskable, tasks.py:192) and their (P, prob_size) soft labels
+    (dataset.py:210). Cand slot k carries its candidate's view."""
+    w = aux["world"]
+    vp = aux["path"][-1]
+    t = int(sample["last_step"])
+    P = sh.tokens_per_step
+    vprobs = w.view_probs(vp, sh.image_prob_size)
+    tok_view = np.full(P, -1, np.int64)
+    for k, cvp in enumerate(aux["last_cands"]):
+        tok_view[k] = w.view_of_heading(w.heading_to(vp, cvp))
+    for v in range(sh.num_views):
+        slot = sh.max_cands + v
+        if sample["vp_mask"][t, slot]:
+            tok_view[slot] = v
+    is_view = (tok_view >= 0) & sample["vp_mask"][t]
+    probs = np.zeros((P, sh.image_prob_size), np.float32)
+    probs[is_view] = vprobs[tok_view[is_view]]
+    return is_view, probs
+
+
+def sample_mrc_mask(rng: np.random.Generator, is_view: np.ndarray,
+                    mask_prob: float) -> np.ndarray:
+    """_get_img_mask (tasks.py:142-148): bernoulli over view tokens,
+    at least one masked."""
+    pick = (rng.random(len(is_view)) < mask_prob) & is_view
+    if not pick.any():
+        pick[int(rng.choice(np.flatnonzero(is_view)))] = True
+    return pick
+
+
+def og_slot_label(sh: PretrainShapes, aux: dict) -> int:
+    """OG label = local vp-token slot of the target object at the final
+    viewpoint ([stop] at 0)."""
+    _, _, target = aux["world"].objects(aux["path"][-1], sh.num_objs)
+    return 1 + sh.num_view_tokens + target
 
 
 def _rel7(w: SyntheticNavWorld, cur: int, tgt: int,

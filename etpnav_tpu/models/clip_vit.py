@@ -71,21 +71,25 @@ def preprocess_rgb(rgb_uint8: jax.Array) -> jax.Array:
     return (x - CLIP_MEAN) / CLIP_STD
 
 
-def encode_image(params: dict, cfg: ClipConfig, images: jax.Array,
-                 dtype=jnp.bfloat16) -> jax.Array:
-    """images: (B, H, W, 3) normalized fp32 -> (B, output_dim) fp32.
-
-    Patchify-as-matmul: (B,H,W,3) -> (B, P, ps*ps*3) @ (ps*ps*3, width).
-    """
+def _patchify(images: jax.Array, ps: int) -> jax.Array:
+    """(B, H, W, C) -> (B, P, ps*ps*C), row-major patch layout. Runs in the
+    input dtype (on uint8 this moves 4x less HBM than after fp32
+    conversion)."""
     B, H, W, C = images.shape
-    ps = cfg.patch_size
     gh, gw = H // ps, W // ps
     x = images.reshape(B, gh, ps, gw, ps, C)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, ps * ps * C)
-    x = x.astype(dtype)
-    x = jnp.dot(x, params["patch_embed"].astype(dtype),
-                preferred_element_type=jnp.float32).astype(dtype)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, ps * ps * C)
 
+
+def _trunk(params: dict, cfg: ClipConfig, x: jax.Array, dtype) -> jax.Array:
+    """Patch embeddings (B, P, width) -> (B, output_dim) fp32.
+
+    The final transformer block only computes the class-token row: the
+    image embedding reads x[:, 0] alone (ln_post + proj), and within one
+    pre-norm block the cls output depends on all 50 tokens only through
+    attention keys/values — so q/MLP rows 1..49 of the last block are
+    dead compute (49/50 of its MLP+proj, ~6.5% of ViT-B/32 FLOPs)."""
+    B = x.shape[0]
     cls = jnp.broadcast_to(
         params["class_embedding"].astype(dtype)[None, None, :],
         (B, 1, cfg.width))
@@ -104,12 +108,59 @@ def encode_image(params: dict, cfg: ClipConfig, images: jax.Array,
         h = h + linear(bp["mlp_proj"], m)
         return h, None
 
-    x, _ = jax.lax.scan(block, x, params["blocks"])
-    cls_out = layer_norm(x[:, 0], params["ln_post"]["scale"],
+    first = jax.tree_util.tree_map(lambda a: a[:-1], params["blocks"])
+    last = jax.tree_util.tree_map(lambda a: a[-1], params["blocks"])
+    x, _ = jax.lax.scan(block, x, first)
+
+    # last block, cls row only (identical math for that row)
+    a = layer_norm(x, last["ln_1"]["scale"], last["ln_1"]["bias"],
+                   cfg.layer_norm_eps)
+    h = x[:, :1] + mha(last["attn"], a[:, :1], a, cfg.heads)
+    m = layer_norm(h, last["ln_2"]["scale"], last["ln_2"]["bias"],
+                   cfg.layer_norm_eps)
+    m = quick_gelu(linear(last["mlp_fc"], m))
+    h = h + linear(last["mlp_proj"], m)
+
+    cls_out = layer_norm(h[:, 0], params["ln_post"]["scale"],
                          params["ln_post"]["bias"], cfg.layer_norm_eps)
     out = jnp.dot(cls_out, params["proj"].astype(dtype),
                   preferred_element_type=jnp.float32)
     return out.astype(jnp.float32)
+
+
+def encode_image(params: dict, cfg: ClipConfig, images: jax.Array,
+                 dtype=jnp.bfloat16) -> jax.Array:
+    """images: (B, H, W, 3) normalized fp32 -> (B, output_dim) fp32.
+
+    Patchify-as-matmul: (B,H,W,3) -> (B, P, ps*ps*3) @ (ps*ps*3, width).
+    """
+    x = _patchify(images, cfg.patch_size).astype(dtype)
+    x = jnp.dot(x, params["patch_embed"].astype(dtype),
+                preferred_element_type=jnp.float32).astype(dtype)
+    return _trunk(params, cfg, x, dtype)
+
+
+def encode_image_uint8(params: dict, cfg: ClipConfig, rgb_uint8: jax.Array,
+                       dtype=jnp.bfloat16) -> jax.Array:
+    """(B, H, W, 3) raw uint8 -> (B, output_dim) fp32, with the CLIP
+    normalization FOLDED into the patch-embedding matmul.
+
+    preprocess_rgb materializes ~3 fp32 copies of the image batch (230 MB
+    at B=384) before any compute; since normalize is per-channel affine
+    (n = p*s_c + t_c), patchify runs on uint8 and the affine folds into
+    the frozen weights: n @ W = p @ (s ⊙ W) + t @ W. uint8 pixel values
+    are exact in bf16. Folding happens in fp32 then casts, so rounding
+    matches the unfolded bf16 path's class of error."""
+    ps = cfg.patch_size
+    s = jnp.tile(1.0 / (255.0 * CLIP_STD), ps * ps)        # (ps*ps*3,)
+    t = jnp.tile(-CLIP_MEAN / CLIP_STD, ps * ps)
+    w = params["patch_embed"].astype(jnp.float32)
+    w_folded = (s[:, None] * w).astype(dtype)
+    b_folded = jnp.dot(t, w, preferred_element_type=jnp.float32)
+    x = _patchify(rgb_uint8, ps).astype(dtype)
+    x = (jnp.dot(x, w_folded, preferred_element_type=jnp.float32)
+         + b_folded).astype(dtype)
+    return _trunk(params, cfg, x, dtype)
 
 
 # ---------------------------------------------------------------------------

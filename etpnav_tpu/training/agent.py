@@ -81,9 +81,15 @@ def encode_panorama(params: AgentParams, cfg: ExperimentConfig,
 
     # ---- frozen visual encoders over B*12 images (MXU-batched) ----
     rgb_flat = rgb.reshape((B * V,) + rgb.shape[2:])
-    rgb_feats = clip_vit.encode_image(
-        params.clip, cfg.clip, clip_vit.preprocess_rgb(rgb_flat),
-        dtype=dtype).reshape(B, V, -1)                       # (B,12,512)
+    if rgb_flat.dtype == jnp.uint8:
+        # normalization folded into the patch matmul: no fp32 image copies
+        rgb_feats = clip_vit.encode_image_uint8(
+            params.clip, cfg.clip, rgb_flat, dtype=dtype)
+    else:
+        rgb_feats = clip_vit.encode_image(
+            params.clip, cfg.clip, clip_vit.preprocess_rgb(rgb_flat),
+            dtype=dtype)
+    rgb_feats = rgb_feats.reshape(B, V, -1)                  # (B,12,512)
 
     dep_flat = depth.reshape((B * V,) + depth.shape[2:])
     dep_spatial = depth_resnet.encode_depth(

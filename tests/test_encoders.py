@@ -35,6 +35,21 @@ def test_clip_vit_matches_hf(rng):
     np.testing.assert_allclose(ours, theirs, atol=3e-5)
 
 
+def test_clip_uint8_folded_path_matches(rng):
+    """encode_image_uint8 (normalization folded into the patch matmul)
+    must equal preprocess_rgb + encode_image."""
+    cfg = ClipConfig(image_size=32, patch_size=16, width=64, layers=2,
+                     heads=4, output_dim=32)
+    params = clip_vit.init_clip_params(jax.random.PRNGKey(0), cfg)
+    img = rng.integers(0, 256, (3, 32, 32, 3)).astype(np.uint8)
+    ref = np.asarray(clip_vit.encode_image(
+        params, cfg, clip_vit.preprocess_rgb(jnp.asarray(img)),
+        dtype=jnp.float32))
+    fused = np.asarray(clip_vit.encode_image_uint8(
+        params, cfg, jnp.asarray(img), dtype=jnp.float32))
+    np.testing.assert_allclose(fused, ref, atol=2e-5)
+
+
 def test_clip_preprocess_matches_torchvision(rng):
     img = rng.integers(0, 256, (2, 8, 8, 3)).astype(np.uint8)
     ours = np.asarray(clip_vit.preprocess_rgb(jnp.asarray(img)))

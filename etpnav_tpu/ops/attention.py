@@ -39,18 +39,29 @@ def mha_init(key: jax.Array, dim: int, ctx_dim: Optional[int] = None) -> dict:
     }
 
 
-# Pallas fused-attention switch. Measured on v5e-1 at ETPNav shapes
-# (B=160 L=64 and B=64 L=200, bf16): XLA's own fusion is 6-17% faster than
-# the Pallas kernel (XLA keeps the logits in VMEM across the softmax
-# already), so the default is the XLA path; the kernel remains available
-# for explicit opt-in and as the base for a fully-fused block kernel
-# (attention + out-proj + residual LN) where Pallas can win.
+# Pallas fused-attention switches, measured HONESTLY on v5e-1 (chained
+# scans with per-iteration input perturbation — earlier comparisons were
+# invalidated by XLA hoisting the loop-invariant benchmark body):
+#
+# - no-bias inference (frozen CLIP tower, B~384 H=12 L=50): the fused
+#   kernel cuts the whole 12-layer encoder 42.4 -> 33.6 ms by keeping
+#   logits in VMEM -> DEFAULT ON on TPU.
+# - biased attention (planner shapes): mixed — 0.46 vs 0.38 ms at
+#   B=160 L=64 (XLA wins), 0.55 vs 0.82 ms at B=64 L=200 (kernel wins)
+#   -> DEFAULT OFF, opt-in for long-text (RxR) configs.
 USE_FUSED_ATTENTION: Optional[bool] = False
+USE_FUSED_ATTENTION_NOBIAS: Optional[bool] = None   # None = auto (TPU on)
 
 
 def _fused_enabled() -> bool:
     if USE_FUSED_ATTENTION is not None:
         return USE_FUSED_ATTENTION
+    return jax.default_backend() == "tpu"
+
+
+def _fused_nobias_enabled() -> bool:
+    if USE_FUSED_ATTENTION_NOBIAS is not None:
+        return USE_FUSED_ATTENTION_NOBIAS
     return jax.default_backend() == "tpu"
 
 
@@ -79,6 +90,16 @@ def mha(params: dict, q_in: jax.Array, kv_in: jax.Array, num_heads: int,
     Lk = k.shape[1]
 
     drop_active = train and attn_dropout > 0.0 and rng is not None
+    if bias is None and not drop_active and _fused_nobias_enabled():
+        # unbiased inference attention (frozen CLIP tower): fused kernel
+        # keeps the (B,H,Lq,Lk) logits in VMEM instead of HBM
+        from etpnav_tpu.ops.pallas_attention import fused_attention
+        import math
+        ctx = fused_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), 1.0 / math.sqrt(hd))
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Lq, D)
+        return linear(params["o"], ctx)
     if bias is not None and not drop_active and _fused_enabled():
         from etpnav_tpu.ops.pallas_attention import fused_bias_attention
         # planner biases are head-independent: (B,1,1,Lk) or (B,1,Lq,Lk)

@@ -79,8 +79,8 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     (B,H,Lq,hd). Inference-only (frozen CLIP tower); no VJP."""
     B, H, Lq, hd = q.shape
     Lk = k.shape[2]
-    blk = block_b
-    while B % blk:
+    blk = max(block_b, 1)
+    while blk > 1 and B % blk:
         blk //= 2
     grid = (B // blk,)
     return pl.pallas_call(

@@ -8,6 +8,7 @@ import pytest
 
 from etpnav_tpu.ops.pallas_attention import (
     _attention_xla,
+    fused_attention,
     fused_bias_attention,
 )
 
@@ -26,6 +27,20 @@ def test_fused_matches_xla(rng, B, H, Lq, Lk, hd):
     scale = 1.0 / np.sqrt(hd)
     ours = fused_bias_attention(q, k, v, bias, scale, True)
     ref = _attention_xla(q, k, v, bias, scale)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5)
+
+
+@pytest.mark.parametrize("B,H,Lq,hd,blk", [(6, 4, 16, 32, 4),
+                                           (5, 2, 8, 16, 8),   # odd B
+                                           (4, 12, 50, 64, 8)])  # CLIP shape
+def test_fused_nobias_matches_xla(rng, B, H, Lq, hd, blk):
+    q = jnp.asarray(_rand(rng, B, H, Lq, hd))
+    k = jnp.asarray(_rand(rng, B, H, Lq, hd))
+    v = jnp.asarray(_rand(rng, B, H, Lq, hd))
+    scale = 1.0 / np.sqrt(hd)
+    ours = fused_attention(q, k, v, scale, block_b=blk, interpret=True)
+    ref = _attention_xla(q, k, v, jnp.zeros((B, Lq, Lq)), scale)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                atol=2e-5)
 

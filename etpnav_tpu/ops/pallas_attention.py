@@ -48,20 +48,31 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float):
 
 
 def _attn_kernel_nobias(q_ref, k_ref, v_ref, out_ref, *, scale: float,
-                        blk: int):
+                        blk: int, pack: int):
     """`blk` batch elements per program, heads folded into the batched
     dot_general. Built for the CLIP ViT shape regime (B~384, H=12, L=50,
     hd=64) where XLA's unfused path spends ~half the encoder time
-    shuttling fp32 logits through HBM."""
+    shuttling fp32 logits through HBM.
+
+    `pack` > 1 additionally packs that many (batch, head) problems into
+    one block-diagonal attention of length pack*L: a (50,64) matmul fills
+    ~15% of a 128x128 MXU tile, a (100,64) one ~60%. Cross-problem logits
+    get -inf from a static mask, so the math is exact (their softmax
+    weight is 0 and P@V cross rows contribute 0)."""
     BH = blk * q_ref.shape[1]
     Lq, hd = q_ref.shape[2], q_ref.shape[3]
     Lk = k_ref.shape[2]
-    q = q_ref[...].reshape(BH, Lq, hd)
-    k = k_ref[...].reshape(BH, Lk, hd)
-    v = v_ref[...].reshape(BH, Lk, hd)
+    q = q_ref[...].reshape(BH // pack, pack * Lq, hd)
+    k = k_ref[...].reshape(BH // pack, pack * Lk, hd)
+    v = v_ref[...].reshape(BH // pack, pack * Lk, hd)
     logits = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale
+    if pack > 1:
+        qi = jax.lax.broadcasted_iota(jnp.int32, (pack * Lq, pack * Lk), 0)
+        ki = jax.lax.broadcasted_iota(jnp.int32, (pack * Lq, pack * Lk), 1)
+        same = (qi // Lq) == (ki // Lk)
+        logits = jnp.where(same[None], logits, -jnp.inf)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
@@ -74,6 +85,7 @@ def _attn_kernel_nobias(q_ref, k_ref, v_ref, out_ref, *, scale: float,
 
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     scale: float, *, block_b: int = 8,
+                    pack: int | None = None,
                     interpret: bool = False) -> jax.Array:
     """Unbiased fused attention: q (B,H,Lq,hd), k/v (B,H,Lk,hd) ->
     (B,H,Lq,hd). Inference-only (frozen CLIP tower); no VJP."""
@@ -82,9 +94,19 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     blk = max(block_b, 1)
     while blk > 1 and B % blk:
         blk //= 2
+    if pack is None:
+        # Measured on v5e-1 at the CLIP shape (B=384 H=12 L=50 hd=64):
+        # pack=2 is SLOWER (1.38 vs 0.81 ms/iter) — the blown-up
+        # (2L, 2L) fp32 logits + block-diag mask cost more than the MXU
+        # tile-occupancy win. Default off; kept as an option since the
+        # trade may flip at other L/hd.
+        pack = 1
+    while pack > 1 and ((blk * H) % pack or Lq != Lk):
+        pack //= 2
     grid = (B // blk,)
     return pl.pallas_call(
-        functools.partial(_attn_kernel_nobias, scale=scale, blk=blk),
+        functools.partial(_attn_kernel_nobias, scale=scale, blk=blk,
+                          pack=pack),
         grid=grid,
         in_specs=[
             pl.BlockSpec((blk, H, Lq, hd), lambda b: (b, 0, 0, 0),

@@ -31,15 +31,19 @@ def test_fused_matches_xla(rng, B, H, Lq, Lk, hd):
                                atol=2e-5)
 
 
-@pytest.mark.parametrize("B,H,Lq,hd,blk", [(6, 4, 16, 32, 4),
-                                           (5, 2, 8, 16, 8),   # odd B
-                                           (4, 12, 50, 64, 8)])  # CLIP shape
-def test_fused_nobias_matches_xla(rng, B, H, Lq, hd, blk):
+@pytest.mark.parametrize("B,H,Lq,hd,blk,pack",
+                         [(6, 4, 16, 32, 4, 1),
+                          (5, 2, 8, 16, 8, 1),      # odd B
+                          (4, 12, 50, 64, 8, 2),    # CLIP shape, packed
+                          (6, 4, 16, 32, 2, 4),
+                          (4, 12, 50, 64, 8, None)])  # auto pack
+def test_fused_nobias_matches_xla(rng, B, H, Lq, hd, blk, pack):
     q = jnp.asarray(_rand(rng, B, H, Lq, hd))
     k = jnp.asarray(_rand(rng, B, H, Lq, hd))
     v = jnp.asarray(_rand(rng, B, H, Lq, hd))
     scale = 1.0 / np.sqrt(hd)
-    ours = fused_attention(q, k, v, scale, block_b=blk, interpret=True)
+    ours = fused_attention(q, k, v, scale, block_b=blk, pack=pack,
+                           interpret=True)
     ref = _attention_xla(q, k, v, jnp.zeros((B, Lq, Lq)), scale)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                atol=2e-5)

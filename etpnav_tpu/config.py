@@ -134,6 +134,9 @@ class GraphConfig:
     loc_noise: float = 0.5       # IL.loc_noise merge radius
     merge_ghost: bool = True
     ghost_aug: float = 0.0
+    # MODEL.consume_ghost: delete a ghost once the agent moves to it
+    # (iter_train.yaml MODEL.consume_ghost; rollout act-4 handling)
+    consume_ghost: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -157,6 +160,12 @@ class ILConfig:
     max_text_len: int = 80
     success_distance: float = 3.0
     stop_distance: float = 1.5   # teacher stop trigger (ss_trainer_ETP.py:283)
+    # MODEL.fix_{lang,pano}_embedding: freeze the text embeddings + 9-layer
+    # language encoder / the pano ImageEmbeddings during fine-tuning
+    # (vilmodel_cmt.py:675-682 sets requires_grad=False; here the optimizer
+    # masks those subtrees instead)
+    fix_lang_embedding: bool = False
+    fix_pano_embedding: bool = False
     remat: bool = False          # jax.checkpoint the pano encoder in the
                                  # learn step (memory <-> recompute)
 
@@ -195,6 +204,30 @@ class PretrainConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """EVAL section (iter_train.yaml; ss_trainer_ETP.py:513-641)."""
+
+    split: str = "val_unseen"
+    episode_count: int = -1          # -1 = every episode of the split
+    ckpt_path_dir: str = ""          # folder to poll (eval_loop)
+    fast_eval: bool = False          # every 5th episode (ss_trainer:569)
+    use_ckpt_config: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class InferenceConfig:
+    """INFERENCE section (iter_train.yaml; ss_trainer_ETP.py:643-756)."""
+
+    split: str = "test"
+    ckpt_path: str = ""
+    predictions_file: str = "predictions.json"
+    format: str = "r2r"              # or 'rxr' (jsonl)
+    episode_count: int = -1
+    sample: bool = False             # sample actions instead of argmax
+    use_ckpt_config: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
 class MeshConfig:
     """Device mesh layout. dp = data parallel, mp = model (tensor) parallel."""
 
@@ -213,7 +246,18 @@ class ExperimentConfig:
     il: ILConfig = ILConfig()
     pretrain: PretrainConfig = PretrainConfig()
     mesh: MeshConfig = MeshConfig()
+    eval: EvalConfig = EvalConfig()
+    inference: InferenceConfig = InferenceConfig()
     seed: int = 0
+    # MODEL.pretrained_path: torch pretrain checkpoint to convert + load
+    # into the planner before fine-tuning (iter_train.yaml)
+    pretrained_path: str = ""
+    # top-level run layout (iter_train.yaml NUM_ENVIRONMENTS + *_DIR keys)
+    num_environments: int = 8
+    tensorboard_dir: str = "logs/tensorboard"
+    checkpoint_folder: str = "checkpoints"
+    results_dir: str = "logs/eval_results"
+    video_dir: str = "logs/video"
 
 
 def r2r_config(**overrides) -> ExperimentConfig:

@@ -31,6 +31,8 @@ _SECTION_FIELDS = {
     "IL": "il",
     "PRETRAIN": "pretrain",
     "MESH": "mesh",
+    "EVAL": "eval",
+    "INFERENCE": "inference",
 }
 
 _PRESETS = {

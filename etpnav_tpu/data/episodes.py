@@ -119,6 +119,11 @@ def load_gt_paths(path: str) -> Dict[str, np.ndarray]:
             for k, v in data.items()}
 
 
+def fast_eval_subset(episodes: Sequence[Episode]) -> List[Episode]:
+    """EVAL.fast_eval: every 5th episode (ss_trainer_ETP.py:569)."""
+    return list(episodes)[::5]
+
+
 def scenes_of(episodes: Sequence[Episode]) -> List[str]:
     return sorted({ep.scene_id for ep in episodes})
 

@@ -102,7 +102,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--ckpt-dir", default="checkpoints")
     ap.add_argument("--ckpt", default=None, help="checkpoint to load")
     ap.add_argument("--episode-count", type=int, default=-1)
-    ap.add_argument("--predictions-file", default="predictions.json")
+    ap.add_argument("--predictions-file", default="",
+                    help="defaults to INFERENCE.predictions_file")
     ap.add_argument("--gt-path", default=None,
                     help="{split}_gt.json.gz with reference locations "
                          "(ndtw supervision / eval)")
@@ -122,6 +123,21 @@ def run(args=None):
     trainer = TRAINER_REGISTRY[args.trainer](cfg, args)
     if args.ckpt:
         trainer.load_checkpoint(args.ckpt)
+    elif cfg.pretrained_path and hasattr(trainer, "params"):
+        # MODEL.pretrained_path: convert + load a torch pretrain ckpt into
+        # the planner (vlnbert_init.py:21-30 key surgery equivalent)
+        import torch
+        from etpnav_tpu.models.convert import convert_planner, strip_prefixes
+        sd = torch.load(cfg.pretrained_path, map_location="cpu")
+        sd = sd.get("state_dict", sd.get("model", sd))
+        planner_params = convert_planner(
+            strip_prefixes(sd), num_l_layers=cfg.planner.num_l_layers,
+            num_x_layers=cfg.planner.num_x_layers)
+        trainer.params = trainer.params._replace(planner=planner_params)
+        trainer._refresh_agent()
+        trainer.opt_state = trainer.tx.init(trainer.params.planner)
+        logger.info("loaded pretrained planner from %s",
+                    cfg.pretrained_path)
 
     gt_paths = None
     if args.gt_path:
@@ -139,14 +155,20 @@ def run(args=None):
         logger.info("train done: %s", logs)
         return logs
     elif args.run_type == "eval":
-        n = args.episode_count if args.episode_count > 0 else 100
+        n = (args.episode_count if args.episode_count > 0
+             else cfg.eval.episode_count if cfg.eval.episode_count > 0
+             else 100)
         stats = trainer.evaluate(n, gt_paths=gt_paths)
         logger.info("eval: %s", stats)
         return stats
     else:
-        n = args.episode_count if args.episode_count > 0 else 100
-        return trainer.inference(n, args.predictions_file,
-                                 fmt=cfg.task_type)
+        n = (args.episode_count if args.episode_count > 0
+             else cfg.inference.episode_count
+             if cfg.inference.episode_count > 0 else 100)
+        preds = (args.predictions_file if args.predictions_file
+                 else cfg.inference.predictions_file)
+        fmt = cfg.inference.format or cfg.task_type
+        return trainer.inference(n, preds, fmt=fmt)
 
 
 if __name__ == "__main__":

@@ -140,6 +140,27 @@ def learn_step(planner_params: dict, opt_state, cfg: ExperimentConfig,
     return planner_params, opt_state, loss
 
 
+def make_il_optimizer(cfg: ExperimentConfig, planner_params: dict
+                      ) -> optax.GradientTransformation:
+    """AdamW over the planner, honoring MODEL.fix_lang_embedding /
+    fix_pano_embedding (vilmodel_cmt.py:675-682 sets requires_grad=False
+    on embeddings+lang_encoder / img_embeddings; here the optimizer masks
+    those subtrees so their params never move)."""
+    frozen_roots = set()
+    if cfg.il.fix_lang_embedding:
+        frozen_roots |= {"embeddings", "lang_encoder"}
+    if cfg.il.fix_pano_embedding:
+        frozen_roots |= {"img_embeddings"}
+    if not frozen_roots:
+        return optax.adamw(cfg.il.lr)
+    labels = {k: jax.tree_util.tree_map(
+        lambda _: "freeze" if k in frozen_roots else "train", v)
+        for k, v in planner_params.items()}
+    return optax.multi_transform(
+        {"train": optax.adamw(cfg.il.lr), "freeze": optax.set_to_zero()},
+        labels)
+
+
 def record_to_batch(rec: RolloutRecord) -> dict:
     return {
         "txt_ids": jnp.asarray(rec.txt_ids),
@@ -192,7 +213,7 @@ class FinetuneTrainer:
             self.engine = PipelinedRollout(engines)
         else:
             self.engine = RolloutEngine(cfg, self.agent, envs, seed=seed)
-        self.tx = optax.adamw(cfg.il.lr)
+        self.tx = make_il_optimizer(cfg, self.params.planner)
         self.opt_state = self.tx.init(self.params.planner)
         self.rng = jax.random.PRNGKey(seed + 1)
         self.iteration = 0
@@ -247,12 +268,16 @@ class FinetuneTrainer:
         return aggregate(stat_eps)
 
     def inference(self, episode_count: int, predictions_file: str,
-                  fmt: str = "r2r") -> dict:
-        """Leaderboard submission writer (ss_trainer_ETP.py:643-756)."""
+                  fmt: str = "r2r", sample: Optional[bool] = None) -> dict:
+        """Leaderboard submission writer (ss_trainer_ETP.py:643-756).
+        sample defaults to cfg.inference.sample (INFERENCE.SAMPLE)."""
+        if sample is None:
+            sample = self.cfg.inference.sample
         path_eps: dict = {}
         guard = 0
         while len(path_eps) < episode_count and guard < 10 * episode_count:
-            self.engine.run("infer", path_eps=path_eps)
+            self.engine.run("infer", path_eps=path_eps,
+                            sample_actions=sample)
             guard += 1
         os.makedirs(os.path.dirname(predictions_file) or ".", exist_ok=True)
         if fmt == "r2r":

@@ -76,11 +76,14 @@ class RolloutEngine:
     def run(self, mode: str, sample_ratio: float = 0.0,
             gt_paths: Optional[Dict[str, np.ndarray]] = None,
             stat_eps: Optional[dict] = None,
-            path_eps: Optional[dict] = None) -> Optional[RolloutRecord]:
+            path_eps: Optional[dict] = None,
+            sample_actions: bool = False) -> Optional[RolloutRecord]:
         """One interval: reset all envs, run episodes to completion.
 
         mode: 'train' records a RolloutRecord; 'eval' fills stat_eps with
         metrics; 'infer' fills path_eps with recorded paths.
+        sample_actions: in eval/infer, sample the policy's softmax instead
+        of argmax (INFERENCE.SAMPLE, ss_trainer_ETP.py:895-903).
         """
         cfg = self.cfg
         il = cfg.il
@@ -296,6 +299,10 @@ class RolloutEngine:
                     else:
                         acts[i] = self.np_rng.choice(logits.shape[1],
                                                      p=probs[i])
+            elif sample_actions:
+                acts = np.asarray([
+                    self.np_rng.choice(logits.shape[1], p=probs[i])
+                    for i in range(n)])
             else:
                 acts = logits.argmax(1)
 
@@ -336,8 +343,9 @@ class RolloutEngine:
                         "ghost_pos": ghost_pos, "back_path": back_path,
                         "tryout": il.tryout})
                     prev_node[gi] = front
-                    gmap.delete_ghost(gid)       # MODEL.consume_ghost
-                    ghost_real[gi].pop(gid, None)
+                    if cfg.graph.consume_ghost:  # MODEL.consume_ghost
+                        gmap.delete_ghost(gid)
+                        ghost_real[gi].pop(gid, None)
 
             results = envs.step(env_actions)
 

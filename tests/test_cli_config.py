@@ -32,6 +32,84 @@ def test_config_from_dict_and_overrides(tmp_path):
     assert cfg.planner.max_txt_len == 64
 
 
+def test_eval_inference_sections_parse():
+    cfg = config_from_dict({
+        "BASE": "tiny",
+        "EVAL": {"split": "val_seen", "fast_eval": True,
+                 "episode_count": 50},
+        "INFERENCE": {"sample": True, "format": "rxr",
+                      "predictions_file": "out.jsonl"},
+        "PRETRAINED_PATH": "/tmp/model_step_82500.pt",
+        "NUM_ENVIRONMENTS": 4,
+    })
+    assert cfg.eval.split == "val_seen" and cfg.eval.fast_eval
+    assert cfg.eval.episode_count == 50
+    assert cfg.inference.sample and cfg.inference.format == "rxr"
+    assert cfg.pretrained_path.endswith(".pt")
+    assert cfg.num_environments == 4
+
+
+def test_reference_yaml_key_parity():
+    """Every key of the reference's run_r2r/iter_train.yaml has a home in
+    the config tree (SURVEY.md §2 row 2). Maps reference key -> (section
+    attr path). GPU-topology keys map onto the mesh."""
+    from etpnav_tpu.config import r2r_config
+    cfg = r2r_config()
+    mapping = {
+        "TRAINER_NAME": "task_type",             # registry name analogue
+        "GPU_NUMBERS": "mesh.dp",
+        "NUM_ENVIRONMENTS": "num_environments",
+        "TENSORBOARD_DIR": "tensorboard_dir",
+        "CHECKPOINT_FOLDER": "checkpoint_folder",
+        "RESULTS_DIR": "results_dir",
+        "VIDEO_DIR": "video_dir",
+        "INFERENCE.SPLIT": "inference.split",
+        "INFERENCE.SAMPLE": "inference.sample",
+        "INFERENCE.CKPT_PATH": "inference.ckpt_path",
+        "INFERENCE.PREDICTIONS_FILE": "inference.predictions_file",
+        "INFERENCE.FORMAT": "inference.format",
+        "INFERENCE.EPISODE_COUNT": "inference.episode_count",
+        "INFERENCE.USE_CKPT_CONFIG": "inference.use_ckpt_config",
+        "EVAL.SPLIT": "eval.split",
+        "EVAL.EPISODE_COUNT": "eval.episode_count",
+        "EVAL.CKPT_PATH_DIR": "eval.ckpt_path_dir",
+        "EVAL.fast_eval": "eval.fast_eval",
+        "EVAL.USE_CKPT_CONFIG": "eval.use_ckpt_config",
+        "IL.iters": "il.iters",
+        "IL.log_every": "il.log_every",
+        "IL.lr": "il.lr",
+        "IL.batch_size": "il.batch_size",
+        "IL.ml_weight": "il.ml_weight",
+        "IL.expert_policy": "il.expert_policy",
+        "IL.sample_ratio": "il.sample_ratio",
+        "IL.decay_interval": "il.decay_interval",
+        "IL.max_traj_len": "il.max_traj_len",
+        "IL.max_text_len": "il.max_text_len",
+        "IL.loc_noise": "il.loc_noise",
+        "IL.waypoint_aug": "il.waypoint_aug",
+        "IL.ghost_aug": "il.ghost_aug",
+        "IL.back_algo": "il.back_algo",
+        "IL.tryout": "il.tryout",
+        "MODEL.task_type": "task_type",
+        "MODEL.NUM_ANGLES": "waypoint.num_images",
+        "MODEL.pretrained_path": "pretrained_path",
+        "MODEL.fix_lang_embedding": "il.fix_lang_embedding",
+        "MODEL.fix_pano_embedding": "il.fix_pano_embedding",
+        "MODEL.use_depth_embedding": "planner.use_depth_embedding",
+        "MODEL.use_sprels": "planner.graph_sprels",
+        "MODEL.merge_ghost": "graph.merge_ghost",
+        "MODEL.consume_ghost": "graph.consume_ghost",
+        "MODEL.RGB_ENCODER.output_size": "planner.image_feat_size",
+        "MODEL.DEPTH_ENCODER.output_size": "depth.output_size",
+        "MODEL.VISUAL_DIM.vis_hidden": "planner.hidden_size",
+    }
+    for ref_key, path in mapping.items():
+        obj = cfg
+        for part in path.split("."):
+            assert hasattr(obj, part), (ref_key, path)
+            obj = getattr(obj, part)
+
+
 def test_config_rejects_unknown_keys():
     with pytest.raises(KeyError):
         config_from_dict({"IL": {"nonexistent_key": 1}})

@@ -72,6 +72,53 @@ def test_inference_writes_predictions(trainer, tmp_path):
     assert all(len(p["position"]) == 3 for p in ep)
 
 
+def test_fix_embedding_freezes_subtrees():
+    """MODEL.fix_lang_embedding / fix_pano_embedding must zero updates for
+    embeddings+lang_encoder / img_embeddings (vilmodel_cmt.py:675-682)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from etpnav_tpu.training.agent import init_agent_params
+    from etpnav_tpu.training.finetune import make_il_optimizer
+    cfg = tiny_config()
+    cfg = dataclasses.replace(cfg, il=dataclasses.replace(
+        cfg.il, fix_lang_embedding=True, fix_pano_embedding=True))
+    planner_params = init_agent_params(jax.random.PRNGKey(0), cfg).planner
+    tx = make_il_optimizer(cfg, planner_params)
+    state = tx.init(planner_params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, planner_params)
+    updates, _ = tx.update(grads, state, planner_params)
+    flat = jax.tree_util.tree_flatten_with_path(updates)[0]
+    froze = moved = 0
+    for path, leaf in flat:
+        root = path[0].key
+        if root in ("embeddings", "lang_encoder", "img_embeddings"):
+            assert not np.asarray(leaf).any(), path
+            froze += 1
+        else:
+            moved += 1
+    assert froze > 0 and moved > 0
+
+
+def test_consume_ghost_off_keeps_ghosts(trainer):
+    """MODEL.consume_ghost=False: visited ghosts stay in the graph."""
+    import dataclasses
+    cfg = dataclasses.replace(trainer.cfg, graph=dataclasses.replace(
+        trainer.cfg.graph, consume_ghost=False))
+    from etpnav_tpu.training.rollout import RolloutEngine
+    engine = RolloutEngine(cfg, trainer.agent, trainer.envs, seed=3)
+    stat: dict = {}
+    engine.run("eval", stat_eps=stat)
+    assert stat                            # episodes completed
+
+
+def test_inference_sample_actions(trainer, tmp_path):
+    out = tmp_path / "preds_sampled.json"
+    trainer.inference(episode_count=1, predictions_file=str(out),
+                      sample=True)
+    assert json.loads(out.read_text())
+
+
 def test_eval_gmap_bucketing_matches_full_size():
     """gmap_len_buckets must not change eval decisions: padded slots are
     fully masked, so per-slot logits are identical up to fp reduction

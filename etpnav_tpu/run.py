@@ -104,6 +104,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--episode-count", type=int, default=-1)
     ap.add_argument("--predictions-file", default="",
                     help="defaults to INFERENCE.predictions_file")
+    ap.add_argument("--video", action="store_true",
+                    help="write per-episode navigator videos to "
+                         "cfg.video_dir during eval (VIDEO_DIR pipeline)")
     ap.add_argument("--gt-path", default=None,
                     help="{split}_gt.json.gz with reference locations "
                          "(ndtw supervision / eval)")
@@ -158,7 +161,19 @@ def run(args=None):
         n = (args.episode_count if args.episode_count > 0
              else cfg.eval.episode_count if cfg.eval.episode_count > 0
              else 100)
-        stats = trainer.evaluate(n, gt_paths=gt_paths)
+        if cfg.eval.ckpt_path_dir:
+            # reference eval mode: poll the checkpoint folder, evaluate
+            # every ckpt once, skip already-evaluated
+            # (base_il_trainer.py:874-889)
+            from etpnav_tpu.training.eval_loop import eval_checkpoint_loop
+            results = eval_checkpoint_loop(
+                trainer, cfg.eval.ckpt_path_dir, cfg.results_dir,
+                episode_count=n, split=cfg.eval.split, gt_paths=gt_paths)
+            logger.info("eval loop: %d checkpoints", len(results))
+            return results
+        stats = trainer.evaluate(
+            n, gt_paths=gt_paths,
+            video_dir=cfg.video_dir if args.video else None)
         logger.info("eval: %s", stats)
         return stats
     else:

@@ -257,13 +257,16 @@ class FinetuneTrainer:
         return {k: float(np.mean(v[-iters:])) for k, v in self.logs.items()}
 
     def evaluate(self, episode_count: int,
-                 gt_paths: Optional[dict] = None) -> Dict[str, float]:
+                 gt_paths: Optional[dict] = None,
+                 video_dir: Optional[str] = None) -> Dict[str, float]:
         """Eval loop (ss_trainer_ETP.py:513-641): argmax policy, metric
-        aggregation over unique episodes."""
+        aggregation over unique episodes. video_dir writes one navigator
+        video per episode (VIDEO_DIR pipeline)."""
         stat_eps: dict = {}
         guard = 0
         while len(stat_eps) < episode_count and guard < 10 * episode_count:
-            self.engine.run("eval", stat_eps=stat_eps, gt_paths=gt_paths)
+            self.engine.run("eval", stat_eps=stat_eps, gt_paths=gt_paths,
+                            video_dir=video_dir)
             guard += 1
         return aggregate(stat_eps)
 

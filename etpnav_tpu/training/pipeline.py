@@ -42,13 +42,15 @@ class PipelinedRollout:
     def run(self, mode: str, sample_ratio: float = 0.0, gt_paths=None,
             stat_eps: Optional[dict] = None,
             path_eps: Optional[dict] = None,
-            sample_actions: bool = False) -> Optional[RolloutRecord]:
+            sample_actions: bool = False,
+            video_dir=None) -> Optional[RolloutRecord]:
         results: List[Optional[RolloutRecord]] = [None] * len(self.engines)
         errors: List[Optional[BaseException]] = [None] * len(self.engines)
         # eval/infer share the dedup dicts; dict writes are GIL-atomic
         locks_free_kwargs = dict(gt_paths=gt_paths, stat_eps=stat_eps,
                                  path_eps=path_eps,
-                                 sample_actions=sample_actions)
+                                 sample_actions=sample_actions,
+                                 video_dir=video_dir)
 
         def worker(i):
             try:

@@ -77,13 +77,17 @@ class RolloutEngine:
             gt_paths: Optional[Dict[str, np.ndarray]] = None,
             stat_eps: Optional[dict] = None,
             path_eps: Optional[dict] = None,
-            sample_actions: bool = False) -> Optional[RolloutRecord]:
+            sample_actions: bool = False,
+            video_dir: Optional[str] = None) -> Optional[RolloutRecord]:
         """One interval: reset all envs, run episodes to completion.
 
         mode: 'train' records a RolloutRecord; 'eval' fills stat_eps with
         metrics; 'infer' fills path_eps with recorded paths.
         sample_actions: in eval/infer, sample the policy's softmax instead
         of argmax (INFERENCE.SAMPLE, ss_trainer_ETP.py:895-903).
+        video_dir: in eval, write one navigator video per episode —
+        pano strip over a top-down map with the topo graph (the VIDEO_DIR
+        pipeline, environments.py:486-516 + utils.py:647-752).
         """
         cfg = self.cfg
         il = cfg.il
@@ -151,6 +155,10 @@ class RolloutEngine:
                 step_valid=np.zeros((B, T), bool),
                 logits=np.zeros((B, T, G), np.float32),
             )
+
+        record_video = mode == "eval" and video_dir is not None
+        video_frames: Dict[int, list] = {}
+        video_traj: Dict[int, list] = {}
 
         gmaps = [TopoMap(loc_noise=il.loc_noise,
                          merge_ghost=True,
@@ -347,6 +355,27 @@ class RolloutEngine:
                         gmap.delete_ghost(gid)
                         ghost_real[gi].pop(gid, None)
 
+            if record_video:
+                from etpnav_tpu.utils.visualization import \
+                    navigator_video_frame
+                for i in range(n):
+                    gi = live[i]
+                    gmap = gmaps[gi]
+                    video_traj.setdefault(gi, []).append(
+                        np.asarray(pos[i]))
+                    gt = (np.asarray(gt_paths[episodes[i].episode_id])
+                          if gt_paths else
+                          np.stack(episodes[i].reference_path))
+                    video_frames.setdefault(gi, []).append(
+                        navigator_video_frame(
+                            {"rgb": rgb[i]},
+                            agent_pos=pos[i],
+                            trajectory=list(video_traj[gi]),
+                            gt_path=list(gt), goal=gt[-1],
+                            nodes=list(gmap.node_pos),
+                            ghosts=[g.aug_pos
+                                    for g in gmap.ghosts.values()]))
+
             results = envs.step(env_actions)
 
             # ---- metrics / path recording on done ----
@@ -364,6 +393,14 @@ class RolloutEngine:
                         info["steps_taken"],
                         info["collisions"]["count"],
                         il.success_distance)
+                    if record_video and video_frames.get(live[i]):
+                        from etpnav_tpu.utils.visualization import \
+                            generate_video
+                        m = stat_eps[ep.episode_id]
+                        generate_video(
+                            video_frames.pop(live[i]), video_dir,
+                            str(ep.episode_id),
+                            {"spl": m["spl"], "ndtw": m["ndtw"]})
             if mode == "infer" and path_eps is not None:
                 for i in done_local:
                     ep = episodes[i]

@@ -119,6 +119,13 @@ def test_inference_sample_actions(trainer, tmp_path):
     assert json.loads(out.read_text())
 
 
+def test_eval_writes_videos(trainer, tmp_path):
+    vdir = tmp_path / "videos"
+    trainer.evaluate(episode_count=1, video_dir=str(vdir))
+    written = list(vdir.iterdir())
+    assert written, "no video output produced"
+
+
 def test_eval_gmap_bucketing_matches_full_size():
     """gmap_len_buckets must not change eval decisions: padded slots are
     fully masked, so per-slot logits are identical up to fp reduction

@@ -48,15 +48,16 @@ def mha_init(key: jax.Array, dim: int, ctx_dim: Optional[int] = None) -> dict:
 #   logits in VMEM -> DEFAULT ON on TPU.
 # - biased attention (planner shapes): mixed — 0.46 vs 0.38 ms at
 #   B=160 L=64 (XLA wins), 0.55 vs 0.82 ms at B=64 L=200 (kernel wins)
-#   -> DEFAULT OFF, opt-in for long-text (RxR) configs.
-USE_FUSED_ATTENTION: Optional[bool] = False
+#   -> None = auto: TPU and Lk >= 128 (long-text RxR encoder wins, short
+#   nav-graph scoring keeps XLA).
+USE_FUSED_ATTENTION: Optional[bool] = None
 USE_FUSED_ATTENTION_NOBIAS: Optional[bool] = None   # None = auto (TPU on)
 
 
-def _fused_enabled() -> bool:
+def _fused_enabled(Lk: int = 0) -> bool:
     if USE_FUSED_ATTENTION is not None:
         return USE_FUSED_ATTENTION
-    return jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu" and Lk >= 128
 
 
 def _fused_nobias_enabled() -> bool:
@@ -100,7 +101,7 @@ def mha(params: dict, q_in: jax.Array, kv_in: jax.Array, num_heads: int,
             v.transpose(0, 2, 1, 3), 1.0 / math.sqrt(hd))
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Lq, D)
         return linear(params["o"], ctx)
-    if bias is not None and not drop_active and _fused_enabled():
+    if bias is not None and not drop_active and _fused_enabled(Lk):
         from etpnav_tpu.ops.pallas_attention import fused_bias_attention
         # planner biases are head-independent: (B,1,1,Lk) or (B,1,Lq,Lk)
         bias_qk = jnp.broadcast_to(

@@ -81,6 +81,29 @@ def main():
         return waypoint.waypoint_heatmap(
             p.waypoint, cfg.waypoint, cw.reshape(B, V, -1)).sum()
 
+    def nav_only(p, t):
+        # one planner scoring step: text memory + padded graph -> logits
+        G = cfg.planner.max_gmap_len
+        L = cfg.planner.max_txt_len
+        D = cfg.planner.hidden_size
+        g = np.random.default_rng(1)
+        txt = jnp.asarray(g.standard_normal((B, L, D)), jnp.float32)
+        txt_m = jnp.ones((B, L), bool)
+        gmap = {
+            "img_fts": jnp.asarray(g.standard_normal((B, G, D)),
+                                   jnp.float32),
+            "step_ids": jnp.zeros((B, G), jnp.int32),
+            "pos_fts": jnp.asarray(g.standard_normal((B, G, 7)),
+                                   jnp.float32),
+            "mask": jnp.ones((B, G), bool),
+            "visited": jnp.zeros((B, G), bool),
+            "pair_dists": jnp.zeros((B, G, G), jnp.float32),
+        }
+        out = agent_lib.score_navigation(
+            p, cfg, txt + t.astype(jnp.float32) * 1e-6, txt_m, gmap)
+        return jnp.where(jnp.isfinite(out["global_logits"]),
+                         out["global_logits"], 0.0).sum()
+
     def nms_only(p, t):
         hm = (jnp.broadcast_to(t.astype(jnp.float32), (B, 120, 12))
               * jnp.arange(120 * 12, dtype=jnp.float32).reshape(1, 120, 12))
@@ -91,9 +114,10 @@ def main():
            "backend": jax.default_backend()}
     for name, fn in (("full", full), ("clip", clip_only),
                      ("depth", depth_only), ("depth+wp", depth_wp),
-                     ("nms", nms_only)):
+                     ("nms", nms_only), ("nav", nav_only)):
         out[f"{name}_ms"] = round(timed(fn), 2)
     out["panos_per_s"] = round(B / (out["full_ms"] / 1e3), 1)
+    out["planner_steps_per_s"] = round(B / (out["nav_ms"] / 1e3), 1)
     print(json.dumps(out))
 
 

@@ -149,7 +149,12 @@ def run(args=None):
 
     if args.run_type == "train":
         if hasattr(trainer, "train_steps"):   # pretrain
-            logs = trainer.train_steps(cfg.pretrain.num_train_steps)
+            if trainer.resume_latest(cfg.checkpoint_folder):
+                logger.info("resumed pretraining at step %d", trainer.step)
+            os.makedirs(cfg.checkpoint_folder, exist_ok=True)
+            logs = trainer.train_steps(
+                cfg.pretrain.num_train_steps - trainer.step,
+                ckpt_dir=cfg.checkpoint_folder)
         else:
             logs = trainer.train(gt_paths=gt_paths)
             os.makedirs(args.ckpt_dir, exist_ok=True)

@@ -43,6 +43,6 @@ def latest_checkpoint(ckpt_dir: str, pattern: str = "ckpt_iter*"
         return None
 
     def key(p):
-        m = re.search(r"iter(\d+)", os.path.basename(p))
+        m = re.search(r"(?:iter|step_?)(\d+)", os.path.basename(p))
         return (int(m.group(1)) if m else -1, os.path.getmtime(p))
     return max(cands, key=key)

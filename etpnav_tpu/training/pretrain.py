@@ -377,8 +377,13 @@ class PretrainTrainer:
     def _put(self, batch: Dict[str, np.ndarray]):
         return meshlib.shard_batch(self.mesh, batch)
 
-    def train_steps(self, n: int) -> Dict[str, float]:
-        losses = {t: [] for t in self.cfg.pretrain.tasks}
+    def train_steps(self, n: int, *, ckpt_dir: Optional[str] = None
+                    ) -> Dict[str, float]:
+        """n steps of task-mixed training. With ckpt_dir, validates and
+        saves every cfg.pretrain.valid_steps (train_r2r.py:319-324 +
+        ModelSaver)."""
+        pt = self.cfg.pretrain
+        losses = {t: [] for t in pt.tasks}
         for _ in range(n):
             task, batch = next(self.meta)
             self.rng, sub = jax.random.split(self.rng)
@@ -387,8 +392,40 @@ class PretrainTrainer:
                 task, self._put(batch), sub)
             losses[task].append(float(loss))
             self.step += 1
+            if ckpt_dir and self.step % pt.valid_steps == 0:
+                self.validate(n_batches=1)
+                self.save_checkpoint(
+                    f"{ckpt_dir}/model_step_{self.step}")
         return {f"{k}_loss": float(np.mean(v)) for k, v in losses.items()
                 if v}
+
+    # ---- checkpointing (ModelSaver, pretrain utils/save.py:23-45) ----
+
+    def _state(self):
+        return {"params": self.params, "opt_state": self.opt_state,
+                "step": np.int64(self.step), "rng": self.rng}
+
+    def save_checkpoint(self, path: str):
+        from etpnav_tpu.training.checkpoints import save_checkpoint
+        save_checkpoint(path, self._state())
+
+    def load_checkpoint(self, path: str):
+        from etpnav_tpu.training.checkpoints import load_checkpoint
+        state = load_checkpoint(path, self._state())
+        self.params = meshlib.shard_params(self.mesh, state["params"])
+        self.opt_state = jax.device_put(state["opt_state"])
+        self.step = int(state["step"])
+        self.rng = jnp.asarray(state["rng"])
+
+    def resume_latest(self, ckpt_dir: str) -> bool:
+        """Requeue-style resume from the newest checkpoint (is_requeue,
+        ss_trainer_ETP.py:216-236 applied to pretraining)."""
+        from etpnav_tpu.training.checkpoints import latest_checkpoint
+        ckpt = latest_checkpoint(ckpt_dir, pattern="model_step_*")
+        if ckpt is None:
+            return False
+        self.load_checkpoint(ckpt)
+        return True
 
     # ---- validation (train_r2r.py:355-444) ----
 

@@ -226,6 +226,26 @@ def test_optimizer_families_and_lookahead():
     assert float(p2["w"]) == -1.0           # pulled halfway back to slow=0
 
 
+def test_pretrain_checkpoint_roundtrip_and_resume(tmp_path):
+    cfg = _tiny_cfg()
+    mesh = meshlib.make_mesh(dp=8, mp=1)
+    tr = PretrainTrainer(cfg, SHAPES, mesh=mesh, seed=0, num_scans=2,
+                         scan_size=12)
+    tr.train_steps(2)
+    tr.save_checkpoint(str(tmp_path / "model_step_2"))
+    before = np.asarray(jax.device_get(
+        tr.params["global_sap_head"]["dense2"]["w"]))
+    tr.train_steps(1)                       # params move on
+    tr2 = PretrainTrainer(cfg, SHAPES, mesh=mesh, seed=7, num_scans=2,
+                          scan_size=12)
+    assert tr2.resume_latest(str(tmp_path))
+    assert tr2.step == 2
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(
+            tr2.params["global_sap_head"]["dense2"]["w"])), before)
+    tr2.train_steps(1)                      # training continues
+
+
 def test_tensor_parallel_equivalence():
     """The mp-sharded layout must compute the same loss as unsharded:
     GSPMD partitioning may not change the math (up to fp reduction

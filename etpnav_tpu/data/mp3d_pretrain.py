@@ -110,6 +110,17 @@ class MP3DTrajectoryData:
     def sample_batch(self, batch_size: int, task: str
                      ) -> Dict[str, np.ndarray]:
         from etpnav_tpu.data.pretrain_data import mask_tokens
+        if task in ("mrc", "og"):
+            # The released R2R feature HDF5 stores exactly image_feat_size
+            # CLIP columns (no logit columns -> dataset.py:210's soft
+            # labels would be empty) and no object annotations, so MRC/OG
+            # are synthetic-source-only until a prob-augmented store is
+            # extracted (data/feature_pipeline.py can emit one).
+            raise NotImplementedError(
+                f"{task} needs CLIP-logit columns / object annotations "
+                "not present in the released MP3D feature stores; use "
+                "the synthetic PretrainSampler or re-extract features "
+                "with class logits")
         samples = [self._one(task) for _ in range(batch_size)]
         batch = {k: np.stack([s[k] for s in samples])
                  for k in samples[0].keys()}

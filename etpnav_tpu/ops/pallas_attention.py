@@ -58,29 +58,44 @@ def _attn_kernel_nobias(q_ref, k_ref, v_ref, out_ref, *, scale: float,
     one block-diagonal attention of length pack*L: a (50,64) matmul fills
     ~15% of a 128x128 MXU tile, a (100,64) one ~60%. Cross-problem logits
     get -inf from a static mask, so the math is exact (their softmax
-    weight is 0 and P@V cross rows contribute 0)."""
+    weight is 0 and P@V cross rows contribute 0).
+
+    The batched dot is chunked to <=96 problems per dot_general: Mosaic
+    crashes (tpu_compile_helper exit 1) on larger batched matmuls at
+    these tile shapes, and chunking lets bigger `blk` amortize grid
+    overhead anyway."""
     BH = blk * q_ref.shape[1]
     Lq, hd = q_ref.shape[2], q_ref.shape[3]
     Lk = k_ref.shape[2]
     q = q_ref[...].reshape(BH // pack, pack * Lq, hd)
     k = k_ref[...].reshape(BH // pack, pack * Lk, hd)
     v = v_ref[...].reshape(BH // pack, pack * Lk, hd)
-    logits = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * scale
-    if pack > 1:
-        qi = jax.lax.broadcasted_iota(jnp.int32, (pack * Lq, pack * Lk), 0)
-        ki = jax.lax.broadcasted_iota(jnp.int32, (pack * Lq, pack * Lk), 1)
-        same = (qi // Lq) == (ki // Lk)
-        logits = jnp.where(same[None], logits, -jnp.inf)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    ctx = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    out_ref[...] = (ctx / denom).astype(out_ref.dtype).reshape(
-        out_ref.shape)
+    n = BH // pack
+    CH = min(n, 96)
+    while n % CH:
+        CH -= 1
+    chunks = []
+    for s in range(0, n, CH):
+        qs, ks, vs = q[s:s + CH], k[s:s + CH], v[s:s + CH]
+        logits = jax.lax.dot_general(
+            qs, ks, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        if pack > 1:
+            qi = jax.lax.broadcasted_iota(
+                jnp.int32, (pack * Lq, pack * Lk), 0)
+            ki = jax.lax.broadcasted_iota(
+                jnp.int32, (pack * Lq, pack * Lk), 1)
+            same = (qi // Lq) == (ki // Lk)
+            logits = jnp.where(same[None], logits, -jnp.inf)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        ctx = jax.lax.dot_general(
+            p.astype(vs.dtype), vs, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        chunks.append((ctx / denom).astype(out_ref.dtype))
+    out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
+    out_ref[...] = out.reshape(out_ref.shape)
 
 
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,

@@ -42,11 +42,19 @@ class HabitatWorkerEnv:
     """Single habitat env behind the VectorNavEnv protocol (num_envs=1)."""
 
     def __init__(self, habitat_config, episodes: Sequence[Episode] = None,
-                 seed: int = 0):
+                 seed: int = 0, episodes_allowed: Sequence[str] = None):
         import habitat
         self._cfg = habitat_config
         self._env = habitat.Env(config=habitat_config)
         self._env.seed(seed)
+        if episodes_allowed is not None:
+            # EPISODES_ALLOWED filter (construct_envs episodes_allowed,
+            # env_utils.py:43-50 / task.py EPISODES_ALLOWED)
+            allowed = {str(e) for e in episodes_allowed}
+            eps = [ep for ep in getattr(self._env, "episodes", [])
+                   if str(ep.episode_id) in allowed]
+            if eps:
+                self._env.episodes = eps
         self._rng = random.Random(seed)
         self._paused = False
         self._positions: List[np.ndarray] = []
@@ -295,17 +303,42 @@ class HabitatWorkerEnv:
 
 
 class HabitatVectorEnv:
-    """construct_envs equivalent: scene-sharded HabitatWorkerEnv pool."""
+    """construct_envs equivalent (env_utils.py:35-124): scene-sharded
+    HabitatWorkerEnv pool with per-worker seeds and episode filters."""
 
-    def __new__(cls, cfg, num_envs: int = 8, split: str = "train",
-                episodes_allowed=None):
-        import habitat
+    def __new__(cls, habitat_config, num_envs: int = 8,
+                split: str = "train", episodes_allowed=None,
+                scenes: Sequence[str] = None, seed: int = 0,
+                threaded: bool = False):
+        from etpnav_tpu.env.habitat_adapter import shard_scenes
         from etpnav_tpu.env.vector import ProcessVectorEnv
 
-        base = habitat.get_config()   # caller-supplied task config in cfg
+        shards = (shard_scenes(list(scenes), num_envs) if scenes
+                  else [None] * num_envs)
         factories = []
         for i in range(num_envs):
             def make(i=i):
-                return HabitatWorkerEnv(base, seed=i)
+                cfg_i = _config_for_worker(habitat_config, shards[i],
+                                           split, seed + i)
+                return HabitatWorkerEnv(cfg_i, seed=seed + i,
+                                        episodes_allowed=episodes_allowed)
             factories.append(make)
-        return ProcessVectorEnv(factories)
+        return ProcessVectorEnv(factories, threaded=threaded)
+
+
+def _config_for_worker(habitat_config, content_scenes, split: str,
+                       seed: int):
+    """Per-worker config: CONTENT_SCENES shard + SEED offset + SPLIT
+    (env_utils.py:98-123). Duck-typed over yacs-style configs; returns
+    the base config unchanged when it isn't mutable that way."""
+    try:
+        cfg = habitat_config.clone()
+        cfg.defrost()
+        if content_scenes is not None:
+            cfg.DATASET.CONTENT_SCENES = list(content_scenes)
+        cfg.DATASET.SPLIT = split
+        cfg.SEED = seed
+        cfg.freeze()
+        return cfg
+    except AttributeError:
+        return habitat_config

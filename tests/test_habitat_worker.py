@@ -109,10 +109,15 @@ class _EpisodeMeta:
     reference_path = [[0.0, 0.0, 0.0], [0.0, 0.0, -5.0]]
 
 
+class _EpisodeMeta2(_EpisodeMeta):
+    episode_id = 9
+
+
 class _MockEnv:
     def __init__(self, config=None, wall_z=None):
         self.sim = _MockSim(wall_z=wall_z)
         self.current_episode = _EpisodeMeta()
+        self.episodes = [_EpisodeMeta(), _EpisodeMeta2()]
 
     def seed(self, s):
         pass
@@ -217,6 +222,32 @@ def test_oracles(worker):
     worker._env.sim.pos = np.zeros(3)
     k = worker.ghost_dist_to_ref(0, ghosts, _EpisodeMeta.reference_path)
     assert k == 1
+
+
+def test_episodes_allowed_filter(monkeypatch):
+    fake = types.ModuleType("habitat")
+    fake.Env = _MockEnv
+    monkeypatch.setitem(sys.modules, "habitat", fake)
+    from etpnav_tpu.env.habitat_worker import HabitatWorkerEnv
+    w = HabitatWorkerEnv(None, seed=0, episodes_allowed=["9"])
+    assert [e.episode_id for e in w._env.episodes] == [9]
+
+
+def test_vector_pool_over_mock(monkeypatch):
+    fake = types.ModuleType("habitat")
+    fake.Env = _MockEnv
+    monkeypatch.setitem(sys.modules, "habitat", fake)
+    from etpnav_tpu.env.habitat_worker import HabitatVectorEnv
+    env = HabitatVectorEnv(None, num_envs=2, scenes=["a", "b", "c"],
+                           threaded=True)
+    assert env.num_envs == 2
+    obs = env.reset()
+    assert len(obs) == 2 and obs[0]["rgb"].shape == (12, 8, 8, 3)
+    pos, ori = env.get_pos_ori()
+    assert pos.shape == (2, 3)
+    res = env.step([{"act": 0, "stop_pos": np.zeros(3), "back_path": None,
+                     "tryout": True}] * 2)
+    assert all(r.done for r in res)
 
 
 def test_shard_scenes_round_robin():

@@ -62,7 +62,13 @@ def bert_embeddings(params: dict, input_ids: jax.Array, eps: float,
                     rng: Optional[jax.Array] = None,
                     train: bool = False) -> jax.Array:
     """word + position + type embeddings, LN, dropout
-    (vilmodel_cmt.py:62-77)."""
+    (vilmodel_cmt.py:62-77).
+
+    Positions are plain arange(L) — deliberately, also for the XLM-R
+    (RxR) variant: HF RoBERTa offsets positions by padding_idx+1 over a
+    non-pad cumsum, but the reference's own BertEmbeddings uses arange
+    (vilmodel_cmt.py:64-66) and the released checkpoints were trained
+    that way, so arange is what keeps bit-parity. Do not 'fix' this."""
     B, L = input_ids.shape
     pos_ids = jnp.arange(L, dtype=jnp.int32)[None, :]
     x = params["word_embeddings"][input_ids]

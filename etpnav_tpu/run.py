@@ -156,7 +156,12 @@ def run(args=None):
                 cfg.pretrain.num_train_steps - trainer.step,
                 ckpt_dir=cfg.checkpoint_folder)
         else:
-            logs = trainer.train(gt_paths=gt_paths)
+            if not args.ckpt and trainer.resume_latest(args.ckpt_dir):
+                logger.info("requeue: resumed at iteration %d",
+                            trainer.iteration)
+            remaining = max(cfg.il.iters - trainer.iteration, 0)
+            logs = trainer.train(remaining, gt_paths=gt_paths,
+                                 save_every=cfg.il.log_every)
             os.makedirs(args.ckpt_dir, exist_ok=True)
             trainer.save_checkpoint(os.path.join(
                 args.ckpt_dir, f"ckpt_iter{trainer.iteration}"))

@@ -225,8 +225,21 @@ class FinetuneTrainer:
         # JittedAgent closures take params per call; just swap the tuple
         self.agent.params = self.params
 
+    def resume_latest(self, ckpt_dir: Optional[str] = None) -> bool:
+        """IL.is_requeue: restore the newest checkpoint incl. optimizer
+        state (ss_trainer_ETP.py:216-236)."""
+        from etpnav_tpu.training.checkpoints import latest_checkpoint
+        ckpt = latest_checkpoint(ckpt_dir or self.ckpt_dir)
+        if ckpt is None:
+            return False
+        self.load_checkpoint(ckpt)
+        return True
+
     def train(self, iters: Optional[int] = None,
-              gt_paths: Optional[dict] = None) -> Dict[str, float]:
+              gt_paths: Optional[dict] = None,
+              save_every: Optional[int] = None) -> Dict[str, float]:
+        """save_every: checkpoint to self.ckpt_dir every N iterations
+        (the reference saves each log_every, ss_trainer_ETP.py:480)."""
         il = self.cfg.il
         iters = iters if iters is not None else il.iters
         for _ in range(iters):
@@ -254,6 +267,10 @@ class FinetuneTrainer:
                 self.writer.add_scalars(
                     {f"time/{k}": v for k, v in self.timer.means().items()},
                     self.iteration)
+            if save_every and self.iteration % save_every == 0:
+                os.makedirs(self.ckpt_dir, exist_ok=True)
+                self.save_checkpoint(os.path.join(
+                    self.ckpt_dir, f"ckpt_iter{self.iteration}"))
         return {k: float(np.mean(v[-iters:])) for k, v in self.logs.items()}
 
     def evaluate(self, episode_count: int,

@@ -41,6 +41,14 @@ def test_requeue_resume(tmp_path):
         np.asarray(tr2.params.planner["global_sap_head"]["dense2"]["w"]))
     logs = tr2.train(iters=1)
     assert np.isfinite(logs["IL_loss"]) and tr2.iteration == 3
+    # the trainer-level wrapper finds the same checkpoint
+    tr3 = FinetuneTrainer(cfg, _envs(cfg, seed=11), seed=6,
+                          ckpt_dir=str(tmp_path))
+    assert tr3.resume_latest()
+    assert tr3.iteration == 2
+    # and periodic saving during train writes iterN checkpoints
+    tr3.train(iters=2, save_every=1)
+    assert latest_checkpoint(str(tmp_path)).endswith("iter4")
 
 
 def test_remat_learn_step_matches_memoryful():

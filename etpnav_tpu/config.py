@@ -262,7 +262,9 @@ class ExperimentConfig:
 
 def r2r_config(**overrides) -> ExperimentConfig:
     """R2R-CE: bert-base-uncased text encoder (run_r2r/iter_train.yaml)."""
-    return dataclasses.replace(ExperimentConfig(task_type="r2r"), **overrides)
+    planner = PlannerConfig(gmap_len_buckets=(16, 32, 48))
+    cfg = ExperimentConfig(task_type="r2r", planner=planner)
+    return dataclasses.replace(cfg, **overrides)
 
 
 def rxr_config(**overrides) -> ExperimentConfig:
@@ -274,6 +276,7 @@ def rxr_config(**overrides) -> ExperimentConfig:
         pad_token_id=1,
         type_vocab_size=2,
         max_txt_len=200,
+        gmap_len_buckets=(16, 32, 48),
     )
     il = ILConfig(
         iters=20000, lr=1.5e-5, expert_policy="ndtw", max_text_len=200

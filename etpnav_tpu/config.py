@@ -166,6 +166,10 @@ class ILConfig:
     # masks those subtrees instead)
     fix_lang_embedding: bool = False
     fix_pano_embedding: bool = False
+    # IL.is_requeue: auto-resume from the newest checkpoint in the ckpt
+    # dir (ss_trainer_ETP.py:216-236). Off by default: silent resume from
+    # a stale checkpoint of a previous experiment is worse than a flag.
+    is_requeue: bool = False
     remat: bool = False          # jax.checkpoint the pano encoder in the
                                  # learn step (memory <-> recompute)
 
@@ -190,6 +194,8 @@ class PretrainConfig:
     task_ratios: Tuple[float, ...] = (1.0, 1.0)
     mrc_mask_prob: float = 0.15          # r2r_pretrain_habitat.json
     image_prob_size: int = 1000          # CLIP soft-label dim (dataset.py:363)
+    num_objs: int = 0                    # object tokens/step for OG
+    resume: bool = False                 # auto-resume newest model_step_N
     # optimizer family + schedule (optim/misc.py:26-37, optim/sched.py)
     optim: str = "adamw"   # adam | adamax | adamw | radam | ralamb | rangerlars
     lr_sched: str = "warmup_linear"      # warmup_linear | noam
@@ -221,7 +227,7 @@ class InferenceConfig:
     split: str = "test"
     ckpt_path: str = ""
     predictions_file: str = "predictions.json"
-    format: str = "r2r"              # or 'rxr' (jsonl)
+    format: str = ""                 # 'r2r' | 'rxr' (jsonl); '' = task_type
     episode_count: int = -1
     sample: bool = False             # sample actions instead of argmax
     use_ckpt_config: bool = False

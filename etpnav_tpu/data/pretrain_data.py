@@ -332,17 +332,7 @@ class PretrainSampler:
                 for (t, k) in unvisited[vp]:
                     agg_w[si, t * P + k] += 1.0 / len(unvisited[vp])
             # pos features (dataset.py:325-345)
-            dvec = w.pos[vp] - w.pos[cur]
-            xz = max(np.hypot(dvec[0], dvec[2]), 1e-8)
-            heading = np.arcsin(-dvec[0] / xz)
-            if dvec[2] > 0:
-                heading = np.pi - heading
-            heading -= cur_heading
-            gmap_pos[si, :4] = angle_features(
-                np.array([heading]), np.array([0.0]))[0]
-            gmap_pos[si, 4] = np.linalg.norm(dvec) / MAX_DIST
-            gmap_pos[si, 5] = w.dist[cur, vp] / MAX_DIST
-            gmap_pos[si, 6] = (w.hops[cur, vp] + 1) / MAX_STEP
+            gmap_pos[si] = _rel7(w, cur, vp, cur_heading)
         vp_arr = np.asarray([v for v in slot_vps[1:]], np.int64)
         if len(vp_arr):
             block = w.dist[np.ix_(vp_arr, vp_arr)] / MAX_DIST

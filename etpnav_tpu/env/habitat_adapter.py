@@ -29,17 +29,37 @@ def habitat_available() -> bool:
 
 
 def make_habitat_envs(cfg, num_envs: int = 8, split: str = "train",
-                      episodes_allowed: Optional[List[str]] = None):
+                      episodes_allowed: Optional[List[str]] = None,
+                      scenes: Optional[List[str]] = None,
+                      task_config_path: Optional[str] = None,
+                      seed: Optional[int] = None):
     """Build a scene-sharded habitat worker pool (env_utils.py:35-124):
     scenes split round-robin across workers, each worker filtered to its
-    scene subset, seeds offset per worker."""
+    scene subset, seeds offset per worker.
+
+    cfg is the framework ExperimentConfig; the habitat TASK config is
+    built here (habitat.get_config over task_config_path) — workers must
+    never see the ExperimentConfig. Scenes default to the dataset's
+    scene list for the split (get_scenes_to_load, env_utils.py:66-75)."""
     if not habitat_available():
         raise RuntimeError(
             "habitat-sim is not installed; use GeometricNavEnv for "
             "simulation-free runs or install habitat-sim>=0.1.7")
+    import habitat
     from etpnav_tpu.env.habitat_worker import HabitatVectorEnv
-    return HabitatVectorEnv(cfg, num_envs=num_envs, split=split,
-                            episodes_allowed=episodes_allowed)
+    task_cfg = (habitat.get_config(task_config_path) if task_config_path
+                else habitat.get_config())
+    if scenes is None:
+        try:
+            dataset_cls = habitat.registry.get_dataset(
+                task_cfg.DATASET.TYPE)
+            scenes = dataset_cls.get_scenes_to_load(task_cfg.DATASET)
+        except Exception:           # dataset without scene enumeration
+            scenes = None
+    return HabitatVectorEnv(
+        task_cfg, num_envs=num_envs, split=split,
+        episodes_allowed=episodes_allowed, scenes=scenes,
+        seed=cfg.seed if seed is None else seed)
 
 
 def shard_scenes(scenes: List[str], num_workers: int) -> List[List[str]]:

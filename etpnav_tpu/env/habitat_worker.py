@@ -53,8 +53,13 @@ class HabitatWorkerEnv:
             allowed = {str(e) for e in episodes_allowed}
             eps = [ep for ep in getattr(self._env, "episodes", [])
                    if str(ep.episode_id) in allowed]
-            if eps:
-                self._env.episodes = eps
+            if not eps:
+                raise ValueError(
+                    "episodes_allowed matched no episode in this worker's"
+                    f" shard ({len(allowed)} ids requested) — running the"
+                    " full split instead would silently report the wrong"
+                    " subset")
+            self._env.episodes = eps
         self._rng = random.Random(seed)
         self._paused = False
         self._positions: List[np.ndarray] = []
@@ -341,4 +346,8 @@ def _config_for_worker(habitat_config, content_scenes, split: str,
         cfg.freeze()
         return cfg
     except AttributeError:
+        import logging
+        logging.getLogger(__name__).warning(
+            "habitat config %s is not yacs-mutable; scene sharding / "
+            "split / seed overrides NOT applied", type(habitat_config))
         return habitat_config

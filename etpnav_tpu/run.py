@@ -19,6 +19,12 @@ import numpy as np
 
 logger = logging.getLogger("etpnav_tpu")
 
+
+def hash_split(split: str) -> int:
+    """Deterministic split hash (python hash() is process-salted)."""
+    import zlib
+    return zlib.crc32(split.encode())
+
 TRAINER_REGISTRY: Dict[str, Callable] = {}
 
 
@@ -38,21 +44,31 @@ def _build_ss_etp(cfg, args):
 
     halves = max(getattr(args, "pipeline_halves", 1), 1)
     per_pool = args.num_envs // halves
+    # split selection: train uses the train split; eval/infer use the
+    # configured EVAL/INFERENCE split. The geometric world has no named
+    # splits, so the split seeds disjoint procedural scenes instead.
+    run_type = getattr(args, "run_type", "train")
+    split = (cfg.eval.split if run_type == "eval"
+             else cfg.inference.split if run_type == "inference"
+             else "train")
+    split_seed = cfg.seed + (0 if split == "train"
+                             else 10_000 + abs(hash_split(split)) % 10_000)
 
     def make_pool(i):
         if habitat_available():
-            return make_habitat_envs(cfg, num_envs=per_pool)
+            return make_habitat_envs(cfg, num_envs=per_pool, split=split,
+                                     seed=cfg.seed + i)
         if getattr(args, "workers", False):
             from etpnav_tpu.env.vector import construct_geometric_envs
             return construct_geometric_envs(
-                per_pool, workers=True, seed=cfg.seed + i,
+                per_pool, workers=True, seed=split_seed + i,
                 vocab_size=cfg.planner.vocab_size,
                 max_instr_len=cfg.il.max_text_len,
                 image_size=cfg.clip.image_size,
                 depth_size=cfg.depth.input_size,
                 pad_id=cfg.planner.pad_token_id)
         return GeometricNavEnv(
-            num_envs=per_pool, seed=cfg.seed + i,
+            num_envs=per_pool, seed=split_seed + i,
             vocab_size=cfg.planner.vocab_size,
             max_instr_len=cfg.il.max_text_len,
             image_size=cfg.clip.image_size,
@@ -82,7 +98,11 @@ def _build_pretrain(cfg, args):
         image_feat_size=cfg.planner.image_feat_size,
         depth_feat_size=cfg.planner.depth_feat_size,
         vocab_size=cfg.planner.vocab_size,
-        pad_token_id=cfg.planner.pad_token_id)
+        pad_token_id=cfg.planner.pad_token_id,
+        # keep the sampler's MRC/OG layout in lockstep with the heads
+        image_prob_size=cfg.pretrain.image_prob_size,
+        mrc_mask_prob=cfg.pretrain.mrc_mask_prob,
+        num_objs=cfg.pretrain.num_objs)
     return PretrainTrainer(cfg, shapes, seed=cfg.seed)
 
 
@@ -124,9 +144,11 @@ def run(args=None):
     logging.basicConfig(level=logging.INFO)
 
     trainer = TRAINER_REGISTRY[args.trainer](cfg, args)
-    if args.ckpt:
-        trainer.load_checkpoint(args.ckpt)
-    elif cfg.pretrained_path and hasattr(trainer, "params"):
+    ckpt = args.ckpt or (cfg.inference.ckpt_path
+                         if args.run_type == "inference" else None)
+    if ckpt:
+        trainer.load_checkpoint(ckpt)
+    elif cfg.pretrained_path and hasattr(trainer, "_refresh_agent"):
         # MODEL.pretrained_path: convert + load a torch pretrain ckpt into
         # the planner (vlnbert_init.py:21-30 key surgery equivalent)
         import torch
@@ -149,14 +171,17 @@ def run(args=None):
 
     if args.run_type == "train":
         if hasattr(trainer, "train_steps"):   # pretrain
-            if trainer.resume_latest(cfg.checkpoint_folder):
+            if (cfg.pretrain.resume
+                    and trainer.resume_latest(cfg.checkpoint_folder)):
                 logger.info("resumed pretraining at step %d", trainer.step)
             os.makedirs(cfg.checkpoint_folder, exist_ok=True)
             logs = trainer.train_steps(
                 cfg.pretrain.num_train_steps - trainer.step,
                 ckpt_dir=cfg.checkpoint_folder)
         else:
-            if not args.ckpt and trainer.resume_latest(args.ckpt_dir):
+            # IL.is_requeue gates auto-resume (ss_trainer_ETP.py:216-236)
+            if (cfg.il.is_requeue and not args.ckpt
+                    and trainer.resume_latest(args.ckpt_dir)):
                 logger.info("requeue: resumed at iteration %d",
                             trainer.iteration)
             remaining = max(cfg.il.iters - trainer.iteration, 0)
@@ -170,7 +195,14 @@ def run(args=None):
     elif args.run_type == "eval":
         n = (args.episode_count if args.episode_count > 0
              else cfg.eval.episode_count if cfg.eval.episode_count > 0
-             else 100)
+             else getattr(trainer.envs, "num_episodes", None) or 100)
+        if cfg.eval.fast_eval:
+            # every-5th-episode subsample (ss_trainer_ETP.py:569). Envs
+            # with explicit episode lists are subset via
+            # data/episodes.fast_eval_subset; the procedural world has
+            # no fixed list, so the count shrinks by the same factor.
+            n = max(1, -(-n // 5))
+            logger.info("fast_eval: evaluating %d episodes", n)
         if cfg.eval.ckpt_path_dir:
             # reference eval mode: poll the checkpoint folder, evaluate
             # every ckpt once, skip already-evaluated

@@ -90,14 +90,26 @@ def _trunk(params: dict, cfg: PlannerConfig, batch: dict,
 def _local_vp_embeds(params: dict, cfg: PlannerConfig, batch: dict,
                      rng: Optional[jax.Array], train: bool) -> jax.Array:
     """Final-step pano tokens -> local cross-modal vp embeddings
-    (B, 1+P, D), [stop] first (LocalVPEncoder, pretrain vilmodel.py:537)."""
-    r_t, r_loc = (jax.random.split(rng) if rng is not None
-                  else (None, None))
-    txt, _, pano = _trunk(params, cfg, batch, r_t, train, need_gmap=False)
-    B = pano.shape[0]
+    (B, 1+P, D), [stop] first (LocalVPEncoder, pretrain vilmodel.py:537).
+
+    MRC/OG only read the end viewpoint, and the pano encoder treats steps
+    independently, so the final step's inputs are gathered BEFORE the
+    encoder — 1/T of the trajectory-wide pano compute, identical math."""
+    if rng is not None:
+        r_t, r_pano, r_loc = jax.random.split(rng, 3)
+    else:
+        r_t = r_pano = r_loc = None
+    txt = planner.forward_txt(params, cfg, batch["txt_ids"],
+                              batch["txt_masks"], rng=r_t, train=train)
+    B = batch["vp_img"].shape[0]
+    idx = jnp.arange(B)
     last = batch["last_step"]
-    last_tokens = pano[jnp.arange(B), last]                 # (B, P, D)
-    last_masks = batch["vp_mask"][jnp.arange(B), last]      # (B, P)
+    last_masks = batch["vp_mask"][idx, last]                # (B, P)
+    last_tokens, _ = planner.forward_panorama(
+        params, cfg,
+        batch["vp_img"][idx, last], batch["vp_dep"][idx, last],
+        batch["vp_loc"][idx, last], batch["vp_nav"][idx, last],
+        last_masks, rng=r_pano, train=train)                # (B, P, D)
     return planner.forward_local(
         params, cfg, txt, batch["txt_masks"], last_tokens, last_masks,
         batch["vp_pos_fts"], rng=r_loc, train=train), last_masks

@@ -110,6 +110,21 @@ def test_reference_yaml_key_parity():
             obj = getattr(obj, part)
 
 
+def test_pretrain_cli_ignores_pretrained_path(tmp_path):
+    """PRETRAINED_PATH only applies to the finetune trainer; the pretrain
+    CLI path must not crash on it (regression: the old hasattr(params)
+    guard matched PretrainTrainer's dict params)."""
+    from etpnav_tpu.run import run
+    y = tmp_path / "pt.yaml"
+    y.write_text(
+        "BASE: tiny\nPRETRAINED_PATH: /nonexistent/model.pt\n"
+        "PRETRAIN: {num_train_steps: 0, batch_size: 2}\n"
+        f"CHECKPOINT_FOLDER: {tmp_path}/ck\n")
+    logs = run(["--exp-config", str(y), "--trainer", "Pretrain",
+                "--run-type", "train"])
+    assert logs == {}
+
+
 def test_config_rejects_unknown_keys():
     with pytest.raises(KeyError):
         config_from_dict({"IL": {"nonexistent_key": 1}})

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import json
 import math
-import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

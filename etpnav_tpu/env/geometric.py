@@ -22,8 +22,6 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from etpnav_tpu.env.protocol import Episode, StepResult
-from etpnav_tpu.graph.geometry import heading_from_quaternion
-
 TURN_DEG = 15.0            # habitat TURN_LEFT actuation
 FORWARD_M = 0.25           # habitat MOVE_FORWARD actuation
 AGENT_RADIUS = 0.1

@@ -29,7 +29,6 @@ from etpnav_tpu.graph.geometry import (
     estimate_candidate_positions,
     heading_from_quaternion,
     position_distance,
-    rel_pos_features,
 )
 
 MAX_DIST = 30.0   # graph_utils.py:9

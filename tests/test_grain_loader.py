@@ -108,6 +108,24 @@ def test_og_loader_labels(record_dir):
             & (batch["obj_labels"] < base + SHAPES.num_objs)).all()
 
 
+def test_iterator_checkpoint_resume(record_dir):
+    """grain DataLoaderIterator state round-trips: a crashed pretrain can
+    resume the input stream mid-epoch (the model-side counterpart is
+    PretrainTrainer.resume_latest)."""
+    dl = build_task_loader(
+        [str(record_dir / "sap.array_record")], "sap", SHAPES,
+        batch_size=2, seed=1, shard_options=gp.NoSharding())
+    it = iter(dl)
+    next(it), next(it)
+    state = it.get_state()
+    b3 = next(it)
+    it2 = iter(dl)
+    it2.set_state(state)
+    b3b = next(it2)
+    np.testing.assert_array_equal(b3["txt_ids"], b3b["txt_ids"])
+    np.testing.assert_array_equal(b3["gmap_pos_fts"], b3b["gmap_pos_fts"])
+
+
 def test_meta_loader_shared_seed_agreement(record_dir):
     def make():
         loaders = {

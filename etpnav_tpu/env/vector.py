@@ -21,6 +21,13 @@ import numpy as np
 from etpnav_tpu.env.protocol import StepResult
 
 
+def _worker_entry_pickled(conn, factory_bytes: bytes):
+    """Entry for spawn/forkserver contexts: the factory (often a closure)
+    travels as cloudpickle bytes because plain pickle can't move it."""
+    import cloudpickle
+    _worker_loop(conn, cloudpickle.loads(factory_bytes))
+
+
 def _worker_loop(conn, env_factory):
     env = env_factory()
     try:
@@ -49,6 +56,11 @@ class ProcessVectorEnv:
 
     def __init__(self, env_factories: Sequence[Callable], *,
                  threaded: bool = False, context: str = "fork"):
+        """context: 'fork' is fastest but hazardous once JAX (which is
+        multithreaded) has initialized in the parent — fork can deadlock
+        the child. Use 'forkserver' (or 'spawn') when workers start after
+        device code has run; factories then travel via cloudpickle, so
+        closures are fine but each worker re-imports its modules."""
         self._n = len(env_factories)
         self._threaded = threaded
         self._live = list(range(self._n))
@@ -61,8 +73,14 @@ class ProcessVectorEnv:
             self._procs = []
             for f in env_factories:
                 parent, child = ctx.Pipe()
-                p = ctx.Process(target=_worker_loop, args=(child, f),
-                                daemon=True)
+                if context == "fork":
+                    p = ctx.Process(target=_worker_loop, args=(child, f),
+                                    daemon=True)
+                else:
+                    import cloudpickle
+                    p = ctx.Process(target=_worker_entry_pickled,
+                                    args=(child, cloudpickle.dumps(f)),
+                                    daemon=True)
                 p.start()
                 child.close()
                 self._conns.append(parent)

@@ -8,6 +8,26 @@ import pytest
 from etpnav_tpu.env.vector import ProcessVectorEnv, construct_geometric_envs
 
 
+def test_forkserver_workers_with_closure_factory():
+    """context='forkserver' avoids the JAX-multithreaded-fork deadlock
+    hazard; closure factories travel via cloudpickle."""
+    from etpnav_tpu.env.geometric import GeometricNavEnv
+    seed = 77
+
+    def make():
+        return GeometricNavEnv(num_envs=1, seed=seed, vocab_size=64,
+                               max_instr_len=8, image_size=16,
+                               depth_size=16)
+    envs = ProcessVectorEnv([make, make], context="forkserver")
+    try:
+        obs = envs.reset()
+        assert len(obs) == 2 and obs[0]["rgb"].shape == (12, 16, 16, 3)
+        d = envs.current_dist_to_goal()
+        assert d.shape == (2,)
+    finally:
+        envs.close()
+
+
 @pytest.mark.parametrize("threaded", [True, False])
 def test_process_vector_env_protocol(threaded):
     envs = construct_geometric_envs(

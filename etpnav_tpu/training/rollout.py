@@ -161,7 +161,7 @@ class RolloutEngine:
         video_traj: Dict[int, list] = {}
 
         gmaps = [TopoMap(loc_noise=il.loc_noise,
-                         merge_ghost=True,
+                         merge_ghost=cfg.graph.merge_ghost,
                          ghost_aug=il.ghost_aug if train else 0.0,
                          track_real_pos=train,
                          rng=self.np_rng)

@@ -129,11 +129,12 @@ class DepthEncoderConfig:
 class GraphConfig:
     """Topological map constants (reference: models/graph_utils.py:9-10)."""
 
-    max_dist: float = 30.0
-    max_step: float = 10.0
-    loc_noise: float = 0.5       # IL.loc_noise merge radius
-    merge_ghost: bool = True
-    ghost_aug: float = 0.0
+    # NOTE: the merge radius and ghost-position augmentation live in IL
+    # (IL.loc_noise / IL.ghost_aug, like the reference yaml); the 30 m /
+    # 10-step pos-feature normalizers are the reference's hardcoded
+    # constants (graph_utils.py:9), module constants here. Only knobs
+    # that actually act belong in this section.
+    merge_ghost: bool = True     # MODEL.merge_ghost
     # MODEL.consume_ghost: delete a ghost once the agent moves to it
     # (iter_train.yaml MODEL.consume_ghost; rollout act-4 handling)
     consume_ghost: bool = True

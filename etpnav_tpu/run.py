@@ -43,7 +43,8 @@ def _build_ss_etp(cfg, args):
     from etpnav_tpu.training.finetune import FinetuneTrainer
 
     halves = max(getattr(args, "pipeline_halves", 1), 1)
-    per_pool = args.num_envs // halves
+    num_envs = getattr(args, "num_envs", 0) or cfg.num_environments
+    per_pool = num_envs // halves
     # split selection: train uses the train split; eval/infer use the
     # configured EVAL/INFERENCE split. The geometric world has no named
     # splits, so the split seeds disjoint procedural scenes instead.
@@ -113,7 +114,9 @@ def build_parser() -> argparse.ArgumentParser:
                     default="train")
     ap.add_argument("--trainer", default="SS-ETP",
                     choices=sorted(TRAINER_REGISTRY))
-    ap.add_argument("--num-envs", type=int, default=8)
+    ap.add_argument("--num-envs", type=int, default=0,
+                    help="0 = cfg NUM_ENVIRONMENTS (reference keeps "
+                         "IL.batch_size equal to it)")
     ap.add_argument("--workers", action="store_true",
                     help="multi-process env workers (env/vector.py)")
     ap.add_argument("--pipeline-halves", type=int, default=1,

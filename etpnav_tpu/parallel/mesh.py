@@ -24,6 +24,34 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Multi-host runtime init — the NCCL rendezvous equivalent
+    (pretrain_src utils/distributed.py:66-90 init_method env://;
+    ss_trainer_ETP.py:151-157).
+
+    jax.distributed.initialize auto-detects TPU pod / SLURM topology;
+    explicit args override. Safe to call in single-process runs: it only
+    initializes when a multi-host context is detectable (args given, or
+    coordinator/SLURM env vars present). Returns True if a multi-process
+    runtime is active afterwards."""
+    import os
+    if jax.process_count() > 1:
+        return True
+    detectable = (coordinator_address or num_processes
+                  or os.environ.get("JAX_COORDINATOR_ADDRESS")
+                  or os.environ.get("COORDINATOR_ADDRESS")
+                  or os.environ.get("SLURM_JOB_NUM_NODES", "1") not in
+                  ("", "1")
+                  or os.environ.get("TPU_WORKER_HOSTNAMES"))
+    if not detectable:
+        return False
+    jax.distributed.initialize(coordinator_address, num_processes,
+                               process_id)
+    return jax.process_count() > 1
+
+
 def make_mesh(dp: int = -1, mp: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())

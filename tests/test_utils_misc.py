@@ -74,3 +74,13 @@ def test_tb_logger_real_backend(tmp_path):
     log.add_scalar("x", 1.0, 1)
     log.close()
     assert any(f.startswith("events") for f in os.listdir(tmp_path))
+
+
+def test_init_distributed_single_process_noop(monkeypatch):
+    """No multi-host context detectable -> no-op returning False (calling
+    jax.distributed.initialize in a single-process test would raise)."""
+    from etpnav_tpu.parallel.mesh import init_distributed
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "SLURM_JOB_NUM_NODES", "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(var, raising=False)
+    assert init_distributed() is False

@@ -61,8 +61,9 @@ class PlannerConfig:
     max_gmap_len: int = 64       # [stop] + nodes + ghosts, bucketed
     # eval/infer-time graph-length buckets for the navigation program:
     # each step emits at the smallest bucket that fits the largest live
-    # graph, so early steps run a much smaller attention + G^2 sprel bias
-    # (and ship a smaller pair_dists transfer). () = always max_gmap_len.
+    # graph (measured on v5e-1 at B=8: 0.52 ms at G=16 vs 0.78 ms at
+    # G=64, plus a G^2-smaller pair_dists transfer). () = always
+    # max_gmap_len.
     # Training always uses max_gmap_len (the learn-phase record is one
     # fixed-shape tensor). jit caches one program per bucket.
     gmap_len_buckets: Tuple[int, ...] = ()

@@ -34,6 +34,11 @@ from etpnav_tpu.ops.attention import mha, mha_init
 CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
+# Experimental: run each resblock's attention half (LN+QKV+attn+proj+
+# residual) as one Pallas kernel (ops/pallas_attention.py
+# fused_prenorm_attention). Off until hardware numerics+speed validate.
+USE_FUSED_BLOCK = False
+
 
 def init_clip_params(key: jax.Array, cfg: ClipConfig) -> dict:
     n_patches = (cfg.image_size // cfg.patch_size) ** 2
@@ -99,9 +104,15 @@ def _trunk(params: dict, cfg: ClipConfig, x: jax.Array, dtype) -> jax.Array:
                    cfg.layer_norm_eps)
 
     def block(h, bp):
-        a = layer_norm(h, bp["ln_1"]["scale"], bp["ln_1"]["bias"],
-                       cfg.layer_norm_eps)
-        h = h + mha(bp["attn"], a, a, cfg.heads)
+        if USE_FUSED_BLOCK and jax.default_backend() == "tpu":
+            from etpnav_tpu.ops.pallas_attention import \
+                fused_prenorm_attention
+            h = fused_prenorm_attention(h, bp["ln_1"], bp["attn"],
+                                        cfg.heads, cfg.layer_norm_eps)
+        else:
+            a = layer_norm(h, bp["ln_1"]["scale"], bp["ln_1"]["bias"],
+                           cfg.layer_norm_eps)
+            h = h + mha(bp["attn"], a, a, cfg.heads)
         m = layer_norm(h, bp["ln_2"]["scale"], bp["ln_2"]["bias"],
                        cfg.layer_norm_eps)
         m = quick_gelu(linear(bp["mlp_fc"], m))

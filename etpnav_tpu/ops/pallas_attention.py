@@ -210,6 +210,109 @@ fused_bias_attention.defvjp(
 )
 
 
+def _prenorm_attn_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref,
+                         bo_ref, out_ref, *, heads: int, scale: float,
+                         eps: float, blk: int):
+    """Pre-norm attention half-block (CLIP resblock first half):
+        out = x + proj(attention(LN(x)))
+    One program per `blk` batch elements; projections run as one
+    (blk*L, D) GEMM so MXU efficiency survives the blocking.
+
+    STATUS (v5e-1, 2026-08): interpret-mode exact (2e-7), but Mosaic
+    rejects the hardware lowering — 'infer-vector-layout: unsupported
+    shape cast' on the (blk*L, 3D) -> (blk, L, 3, H, hd) head split
+    (minor-dim reshape). The profitable batched formulation needs
+    exactly the minor-dim splits/merges Mosaic forbids; the per-batch-
+    element head-leading formulation (fused_attention_block below)
+    compiles but loses the GEMM batching that makes fusion pay. Kept as
+    a starting point; not wired into any production path."""
+    blkL = blk * x_ref.shape[1]
+    L = x_ref.shape[1]
+    D = x_ref.shape[2]
+    hd = D // heads
+    x = x_ref[...].reshape(blkL, D)
+    cdt = x.dtype
+
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    a = ((x32 - mu) * jax.lax.rsqrt(var + eps)
+         * g_ref[0].astype(jnp.float32)
+         + b_ref[0].astype(jnp.float32)).astype(cdt)
+
+    # fused qkv: (blk*L, D) @ (D, 3D) -> (blk*L, 3D)
+    qkv = (jax.lax.dot_general(
+        a, wqkv_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + bqkv_ref[0].astype(jnp.float32)).astype(cdt)
+    qkv = qkv.reshape(blk, L, 3, heads, hd)
+    # (blk, L, 3, H, hd) -> (3, blk, H, L, hd) -> flatten batch*heads
+    qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, blk * heads, L, hd)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+
+    logits = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    ctx = (jax.lax.dot_general(
+        p.astype(cdt), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) / denom).astype(cdt)
+
+    # (blk*H, L, hd) -> (blk*L, D) for the out projection
+    ctx = ctx.reshape(blk, heads, L, hd).transpose(0, 2, 1, 3) \
+        .reshape(blkL, D)
+    out = jax.lax.dot_general(
+        ctx, wo_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bo_ref[0].astype(jnp.float32)
+    out_ref[...] = (x32 + out).astype(out_ref.dtype).reshape(out_ref.shape)
+
+
+def fused_prenorm_attention(x: jax.Array, ln: dict, attn: dict,
+                            num_heads: int, eps: float, *,
+                            block_b: int = 8,
+                            interpret: bool = False) -> jax.Array:
+    """x (B, L, D) -> x + proj(mha(LN(x))) in one kernel (inference-only,
+    no VJP; the frozen CLIP tower). ln = {'scale','bias'}, attn =
+    {'q','k','v','o'} linear params."""
+    import math
+    B, L, D = x.shape
+    blk = max(block_b, 1)
+    while blk > 1 and B % blk:
+        blk //= 2
+    wqkv = jnp.concatenate([attn["q"]["w"], attn["k"]["w"],
+                            attn["v"]["w"]], axis=1)        # (D, 3D)
+    bqkv = jnp.concatenate([attn["q"]["b"], attn["k"]["b"],
+                            attn["v"]["b"]])[None]          # (1, 3D)
+    row = lambda a: a.reshape(1, -1)
+
+    def spec(shape):
+        return pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_prenorm_attn_kernel, heads=num_heads,
+                          scale=1.0 / math.sqrt(D // num_heads), eps=eps,
+                          blk=blk),
+        grid=(B // blk,),
+        in_specs=[
+            pl.BlockSpec((blk, L, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            spec((1, D)), spec((1, D)),
+            spec((D, 3 * D)), spec((1, 3 * D)),
+            spec((D, D)), spec((1, D)),
+        ],
+        out_specs=pl.BlockSpec((blk, L, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, row(ln["scale"]), row(ln["bias"]), wqkv, bqkv, attn["o"]["w"],
+      row(attn["o"]["b"]))
+
+
 def supports_pallas() -> bool:
     return jax.default_backend() == "tpu"
 

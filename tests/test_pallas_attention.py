@@ -49,6 +49,24 @@ def test_fused_nobias_matches_xla(rng, B, H, Lq, hd, blk, pack):
                                atol=2e-5)
 
 
+def test_prenorm_block_interpret_parity(rng):
+    """Experimental pre-norm attention half-block: interpret-mode parity
+    (hardware lowering is Mosaic-rejected — see kernel docstring)."""
+    from etpnav_tpu.ops.basic import layer_norm, ln_init
+    from etpnav_tpu.ops.attention import mha, mha_init
+    from etpnav_tpu.ops.pallas_attention import fused_prenorm_attention
+    B, L, D, H = 6, 50, 64, 4
+    x = jnp.asarray(_rand(rng, B, L, D))
+    attn = mha_init(jax.random.PRNGKey(0), D)
+    ln = ln_init(D)
+    a = layer_norm(x, ln["scale"], ln["bias"], 1e-5)
+    ref = x + mha(attn, a, a, H)
+    out = fused_prenorm_attention(x, ln, attn, H, 1e-5, block_b=2,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4)
+
+
 def test_fused_handles_masked_rows(rng):
     B, H, L, hd = 1, 2, 8, 16
     q = jnp.asarray(_rand(rng, B, H, L, hd))

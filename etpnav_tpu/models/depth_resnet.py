@@ -52,14 +52,31 @@ def gn_init(channels: int) -> dict:
 
 def group_norm(params: dict, x: jax.Array, groups: int,
                eps: float = 1e-5) -> jax.Array:
-    """NHWC GroupNorm matching torch nn.GroupNorm semantics."""
+    """NHWC GroupNorm matching torch nn.GroupNorm semantics.
+
+    TPU layout note: reducing over a (B,H,W,G,C//G) view splits the
+    minor (lane) dimension, forcing strided cross-lane reductions —
+    measured ~2.8 ms of a 6.2 ms depth-encoder pass at B=384. Instead:
+    one clean channel-major moment pass over HW -> (B, C), combine
+    groups on that tiny result, and apply as a per-channel affine
+    (x*a + b) that XLA fuses with the surrounding conv/ReLU chain.
+    Moments accumulate in fp32 (reads stay in x.dtype); var uses the
+    E[x^2]-E[x]^2 form on per-group means."""
     B, H, W, C = x.shape
     dtype = x.dtype
-    xg = x.astype(jnp.float32).reshape(B, H, W, groups, C // groups)
-    mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
-    var = jnp.mean(jnp.square(xg - mean), axis=(1, 2, 4), keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    y = xg.reshape(B, H, W, C) * params["scale"] + params["bias"]
+    cg = C // groups
+    x32 = x.astype(jnp.float32)
+    s1 = jnp.sum(x32, axis=(1, 2))                    # (B, C)
+    s2 = jnp.sum(jnp.square(x32), axis=(1, 2))        # (B, C)
+    n = H * W * cg
+    g1 = s1.reshape(B, groups, cg).sum(-1) / n        # (B, G) group mean
+    g2 = s2.reshape(B, groups, cg).sum(-1) / n        # (B, G) E[x^2]
+    inv = jax.lax.rsqrt(jnp.maximum(g2 - jnp.square(g1), 0.0) + eps)
+    inv_c = jnp.repeat(inv, cg, axis=1)               # (B, C)
+    mean_c = jnp.repeat(g1, cg, axis=1)
+    a = inv_c * params["scale"][None]
+    b = params["bias"][None] - mean_c * a
+    y = x32 * a[:, None, None, :] + b[:, None, None, :]
     return y.astype(dtype)
 
 

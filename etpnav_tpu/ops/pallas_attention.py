@@ -111,10 +111,15 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         blk //= 2
     if pack is None:
         # Measured on v5e-1 at the CLIP shape (B=384 H=12 L=50 hd=64):
-        # pack=2 is SLOWER (1.38 vs 0.81 ms/iter) — the blown-up
-        # (2L, 2L) fp32 logits + block-diag mask cost more than the MXU
-        # tile-occupancy win. Default off; kept as an option since the
-        # trade may flip at other L/hd.
+        # pack=2 is SLOWER (1.35-1.38 vs 0.77-0.81 ms/iter) — the
+        # blown-up (2L, 2L) fp32 logits + block-diag mask cost more than
+        # the MXU tile-occupancy win (the packed QK^T also does 2x the
+        # MACs of the two separate problems, so packing only saves
+        # per-op overhead). Cheapening the logits pass to close the gap
+        # (bf16 logits + constant-shift softmax, tools/exp_attn_pack.py)
+        # is Mosaic-rejected: 'tpu.matmul op Expected matmul acc to be
+        # 32-bit'. Default off; kept since the trade may flip at other
+        # L/hd.
         pack = 1
     while pack > 1 and ((blk * H) % pack or Lq != Lk):
         pack //= 2

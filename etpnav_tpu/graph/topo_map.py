@@ -123,6 +123,13 @@ class TopoMap:
     def hops(self, u: int, v: int) -> int:
         return int(self._hops[u, v])
 
+    def edge_list(self) -> List[tuple]:
+        """Direct graph edges as (u, v) pairs with u < v — the pairs one
+        hop apart in the APSP (for visualization / export)."""
+        n = self.num_nodes
+        us, vs = np.nonzero(np.triu(self._hops[:n, :n] == 1, k=1))
+        return list(zip(us.tolist(), vs.tolist()))
+
     def path(self, u: int, v: int) -> List[int]:
         """Node indices from u to v inclusive (like nx shortest path)."""
         if u == v:

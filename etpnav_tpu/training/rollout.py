@@ -366,6 +366,7 @@ class RolloutEngine:
                     gt = (np.asarray(gt_paths[episodes[i].episode_id])
                           if gt_paths else
                           np.stack(episodes[i].reference_path))
+                    act = env_actions[i]
                     video_frames.setdefault(gi, []).append(
                         navigator_video_frame(
                             {"rgb": rgb[i]},
@@ -373,6 +374,9 @@ class RolloutEngine:
                             trajectory=list(video_traj[gi]),
                             gt_path=list(gt), goal=gt[-1],
                             nodes=list(gmap.node_pos),
+                            edges=[(gmap.node_pos[u], gmap.node_pos[v])
+                                   for u, v in gmap.edge_list()],
+                            predict_ghost=act.get("ghost_pos"),
                             ghosts=[g.aug_pos
                                     for g in gmap.ghosts.values()]))
 

@@ -21,6 +21,7 @@ GHOST_COLOR = (170, 110, 40)
 GT_COLOR = (200, 200, 60)
 PATH_COLOR = (240, 120, 40)
 GOAL_COLOR = (50, 50, 220)
+EDGE_COLOR = (190, 190, 190)
 
 
 class TopDownRenderer:
@@ -38,7 +39,7 @@ class TopDownRenderer:
 
     def render(self, *, agent_pos=None, trajectory: Sequence = (),
                gt_path: Sequence = (), nodes: Sequence = (),
-               ghosts: Sequence = (), goal=None,
+               ghosts: Sequence = (), goal=None, edges: Sequence = (),
                predict_ghost=None, teacher_ghost=None) -> np.ndarray:
         import cv2
         img = np.full((self.size, self.size, 3), 255, np.uint8)
@@ -51,6 +52,8 @@ class TopDownRenderer:
         def dot(p, color, r=5):
             cv2.circle(img, self._to_px(np.asarray(p)[[0, 2]]), r, color, -1)
 
+        for a, b in edges:                 # topo-graph edges under nodes
+            polyline([a, b], EDGE_COLOR, 1)
         polyline(gt_path, GT_COLOR, 3)
         polyline(trajectory, PATH_COLOR, 2)
         for n in nodes:
@@ -88,6 +91,23 @@ def navigator_video_frame(obs: Dict[str, np.ndarray], *, vis_info=None,
     w = strip.shape[1]
     top = cv2.resize(top, (w, w // 2))
     return np.concatenate([strip, top], axis=0)
+
+
+def planner_video_frame(obs: Dict[str, np.ndarray], *, vis_info=None,
+                        renderer: Optional[TopDownRenderer] = None,
+                        **render_kwargs) -> np.ndarray:
+    """Planner-centric frame (utils.py:647-668): the topological map —
+    graph edges, nodes, ghosts, the predicted ghost and teacher ghost —
+    rendered full-size, with the panorama strip as a footer band."""
+    import cv2
+    renderer = renderer or TopDownRenderer()
+    top = renderer.render(**{**(vis_info or {}), **render_kwargs})
+    strip = pano_strip(obs["rgb"], height=64) if "rgb" in obs else None
+    if strip is None:
+        return top
+    w = strip.shape[1]
+    top = cv2.resize(top, (w, w))
+    return np.concatenate([top, strip], axis=0)
 
 
 def generate_video(frames: List[np.ndarray], video_dir: str,

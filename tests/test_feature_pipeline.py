@@ -88,3 +88,32 @@ def test_visualization(tmp_path):
     path = generate_video([nav, nav], str(tmp_path / "vid"), "7",
                           {"spl": 0.5})
     assert os.path.exists(path)
+
+
+def test_planner_frame_with_graph_edges():
+    """planner_video_frame (utils.py:647-668 analogue) renders the topo
+    graph — edges from TopoMap.edge_list — plus predicted ghost."""
+    from etpnav_tpu.graph.topo_map import TopoMap
+    from etpnav_tpu.utils.visualization import (TopDownRenderer,
+                                                planner_video_frame)
+    m = TopoMap()
+    n0 = m.update(None, 0, np.zeros(3), np.array([0, 0, 0, 1.0]),
+                  np.zeros(8), np.array([0.0, 1.57]),
+                  np.array([1.5, 1.5]), np.zeros((2, 8)),
+                  np.zeros((2,), np.int32), 0)
+    n1 = m.update(n0, 1, np.array([1.5, 0, 0]), np.array([0, 0, 0, 1.0]),
+                  np.zeros(8), np.array([0.0]), np.array([1.5]),
+                  np.zeros((1, 8)), np.zeros((1,), np.int32), 1)
+    edges = m.edge_list()
+    assert (min(n0, n1), max(n0, n1)) in edges
+    frame = planner_video_frame(
+        {"rgb": np.zeros((12, 16, 16, 3), np.uint8)},
+        renderer=TopDownRenderer(size=128, extent=5.0),
+        agent_pos=[0, 0, 0], nodes=list(m.node_pos),
+        edges=[(m.node_pos[u], m.node_pos[v]) for u, v in edges],
+        predict_ghost=next(iter(m.ghosts.values())).aug_pos
+        if m.ghosts else None,
+        ghosts=[g.aug_pos for g in m.ghosts.values()])
+    # top-down square (w x w) over a 64-high pano strip of 12 views
+    w = 12 * 64
+    assert frame.shape == (w + 64, w, 3)

@@ -93,7 +93,11 @@ def mha(params: dict, q_in: jax.Array, kv_in: jax.Array, num_heads: int,
     drop_active = train and attn_dropout > 0.0 and rng is not None
     if bias is None and not drop_active and _fused_nobias_enabled():
         # unbiased inference attention (frozen CLIP tower): fused kernel
-        # keeps the (B,H,Lq,Lk) logits in VMEM instead of HBM
+        # keeps the (B,H,Lq,Lk) logits in VMEM instead of HBM. The
+        # (B,L,H,hd)<->(B,H,L,hd) transposes around the kernel are
+        # effectively free (XLA fuses them: 0.79 vs 0.77 ms/layer bare
+        # kernel at the CLIP shape); moving the relayout into the kernel
+        # (blhd=True) measured 3x SLOWER — see tools/exp_attn_layout.py.
         from etpnav_tpu.ops.pallas_attention import fused_attention
         import math
         ctx = fused_attention(

@@ -48,11 +48,21 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float):
 
 
 def _attn_kernel_nobias(q_ref, k_ref, v_ref, out_ref, *, scale: float,
-                        blk: int, pack: int):
+                        blk: int, pack: int, blhd: bool = False):
     """`blk` batch elements per program, heads folded into the batched
     dot_general. Built for the CLIP ViT shape regime (B~384, H=12, L=50,
     hd=64) where XLA's unfused path spends ~half the encoder time
     shuttling fp32 logits through HBM.
+
+    `blhd` = operands arrive as (blk, L, H, hd) — the natural layout off
+    the QKV projections — and the head-leading relayout happens here in
+    VMEM. MEASURED NEGATIVE on v5e-1 (tools/exp_attn_layout.py): the
+    in-kernel relayout costs 2.34 vs 0.79 ms/layer for XLA transposes
+    around the head-leading kernel (XLA fuses those to ~free), needs a
+    64M scoped-vmem limit, and Lq<8 blocks trip scoped-vmem OOM. The
+    no-transpose alternative (dot_general with non-leading batch dims)
+    is Mosaic-unimplemented. Kept for documentation; production uses
+    the default layout.
 
     `pack` > 1 additionally packs that many (batch, head) problems into
     one block-diagonal attention of length pack*L: a (50,64) matmul fills
@@ -64,12 +74,22 @@ def _attn_kernel_nobias(q_ref, k_ref, v_ref, out_ref, *, scale: float,
     crashes (tpu_compile_helper exit 1) on larger batched matmuls at
     these tile shapes, and chunking lets bigger `blk` amortize grid
     overhead anyway."""
-    BH = blk * q_ref.shape[1]
-    Lq, hd = q_ref.shape[2], q_ref.shape[3]
-    Lk = k_ref.shape[2]
-    q = q_ref[...].reshape(BH // pack, pack * Lq, hd)
-    k = k_ref[...].reshape(BH // pack, pack * Lk, hd)
-    v = v_ref[...].reshape(BH // pack, pack * Lk, hd)
+    if blhd:
+        H = q_ref.shape[2]
+        Lq, hd = q_ref.shape[1], q_ref.shape[3]
+        Lk = k_ref.shape[1]
+        qh = q_ref[...].transpose(0, 2, 1, 3)      # (blk, H, Lq, hd)
+        kh = k_ref[...].transpose(0, 2, 1, 3)
+        vh = v_ref[...].transpose(0, 2, 1, 3)
+    else:
+        H = q_ref.shape[1]
+        Lq, hd = q_ref.shape[2], q_ref.shape[3]
+        Lk = k_ref.shape[2]
+        qh, kh, vh = q_ref[...], k_ref[...], v_ref[...]
+    BH = blk * H
+    q = qh.reshape(BH // pack, pack * Lq, hd)
+    k = kh.reshape(BH // pack, pack * Lk, hd)
+    v = vh.reshape(BH // pack, pack * Lk, hd)
     n = BH // pack
     CH = min(n, 96)
     while n % CH:
@@ -95,17 +115,26 @@ def _attn_kernel_nobias(q_ref, k_ref, v_ref, out_ref, *, scale: float,
             preferred_element_type=jnp.float32)
         chunks.append((ctx / denom).astype(out_ref.dtype))
     out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
+    if blhd:
+        out = out.reshape(blk, H, Lq, hd).transpose(0, 2, 1, 3)
     out_ref[...] = out.reshape(out_ref.shape)
 
 
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     scale: float, *, block_b: int = 8,
-                    pack: int | None = None,
+                    pack: int | None = None, blhd: bool = False,
                     interpret: bool = False) -> jax.Array:
-    """Unbiased fused attention: q (B,H,Lq,hd), k/v (B,H,Lk,hd) ->
-    (B,H,Lq,hd). Inference-only (frozen CLIP tower); no VJP."""
-    B, H, Lq, hd = q.shape
-    Lk = k.shape[2]
+    """Unbiased fused attention. Inference-only (frozen CLIP tower); no
+    VJP. Layouts: default q (B,H,Lq,hd), k/v (B,H,Lk,hd) -> (B,H,Lq,hd);
+    with blhd=True, q (B,Lq,H,hd), k/v (B,Lk,H,hd) -> (B,Lq,H,hd) — the
+    natural projection layout, avoiding four HBM transpose round-trips
+    per call (the head relayout happens in VMEM inside the kernel)."""
+    if blhd:
+        B, Lq, H, hd = q.shape
+        Lk = k.shape[1]
+    else:
+        B, H, Lq, hd = q.shape
+        Lk = k.shape[2]
     blk = max(block_b, 1)
     while blk > 1 and B % blk:
         blk //= 2
@@ -124,20 +153,27 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     while pack > 1 and ((blk * H) % pack or Lq != Lk):
         pack //= 2
     grid = (B // blk,)
+    if blhd:
+        qspec = pl.BlockSpec((blk, Lq, H, hd), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        kvspec = pl.BlockSpec((blk, Lk, H, hd), lambda b: (b, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        qspec = pl.BlockSpec((blk, H, Lq, hd), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        kvspec = pl.BlockSpec((blk, H, Lk, hd), lambda b: (b, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    # the blhd in-kernel head relayout needs ~38M of scoped VMEM at the
+    # CLIP shape (blk=8): raise the 16M default (v5e VMEM is 128M)
+    compiler_params = (pltpu.CompilerParams(
+        vmem_limit_bytes=64 * 1024 * 1024) if blhd else None)
     return pl.pallas_call(
         functools.partial(_attn_kernel_nobias, scale=scale, blk=blk,
-                          pack=pack),
+                          pack=pack, blhd=blhd),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((blk, H, Lq, hd), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, H, Lk, hd), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, H, Lk, hd), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((blk, H, Lq, hd), lambda b: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[qspec, kvspec, kvspec],
+        out_specs=qspec,
+        compiler_params=compiler_params,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * Lq * Lk * (2 * hd),

@@ -49,6 +49,23 @@ def test_fused_nobias_matches_xla(rng, B, H, Lq, hd, blk, pack):
                                atol=2e-5)
 
 
+@pytest.mark.parametrize("B,H,L,hd", [(4, 12, 50, 64),   # CLIP shape
+                                      (6, 4, 16, 32)])
+def test_fused_nobias_blhd_layout(rng, B, H, L, hd):
+    """blhd=True consumes/produces the natural (B, L, H, hd) projection
+    layout — same math, no HBM transposes around the kernel."""
+    q = jnp.asarray(_rand(rng, B, L, H, hd))
+    k = jnp.asarray(_rand(rng, B, L, H, hd))
+    v = jnp.asarray(_rand(rng, B, L, H, hd))
+    scale = 1.0 / np.sqrt(hd)
+    ours = fused_attention(q, k, v, scale, blhd=True, interpret=True)
+    ref = _attention_xla(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                         v.transpose(0, 2, 1, 3), jnp.zeros((B, L, L)),
+                         scale).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5)
+
+
 def test_prenorm_block_interpret_parity(rng):
     """Experimental pre-norm attention half-block: interpret-mode parity
     (hardware lowering is Mosaic-rejected — see kernel docstring)."""

@@ -1,0 +1,300 @@
+"""Online serving: session-based navigation inference with dynamic
+batching onto fixed TPU batch slots.
+
+The reference has no serving story — its closest surface is the
+leaderboard `inference` mode (ss_trainer_ETP.py:643-756), which drives
+simulators it owns. A production deployment is push-model instead: many
+concurrent clients each own an episode and send observations as they
+arrive. This module provides that surface over the same agent programs
+the trainer uses:
+
+- `NavSession`  - host-side per-episode state: the encoded instruction,
+  the topological map, current node, step counter.
+- `NavServer`   - dynamic batcher: concurrent `step()` calls are
+  coalesced (up to `max_batch` or `max_wait_ms`) into ONE fused
+  perceive dispatch + ONE navigation-scoring dispatch, then translated
+  per-session into high-level actions.
+
+TPU-idiomatic serving choices:
+- static shapes: the device batch is always padded to `max_batch` slots
+  (empty slots carry zeros and are discarded), so exactly two programs
+  are compiled regardless of load;
+- graph-length bucketing (PLANNER.gmap_len_buckets) bounds the
+  navigation program's shape set, as in eval;
+- the host never blocks the device: map updates + action translation
+  (the only Python logic) run between the two dispatches.
+
+Returned actions use the env-action dict vocabulary of the rollout
+engine / env layer (environments.py:436-477 semantics): act 0 = stop at
+`stop_pos` (optionally walking `back_path`), act 4 = go to `ghost_pos`
+via `front_pos`.
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from etpnav_tpu.config import ExperimentConfig
+from etpnav_tpu.graph.topo_map import TopoMap
+from etpnav_tpu.training.agent import JittedAgent
+from etpnav_tpu.training.rollout import _fit
+
+
+@dataclass
+class NavSession:
+    sid: int
+    txt_embeds: np.ndarray          # (L, Dh) fp32
+    txt_mask: np.ndarray            # (L,) bool
+    gmap: TopoMap
+    prev_node: Optional[int] = None
+    stepk: int = 0
+    done: bool = False
+    history: List[dict] = field(default_factory=list)
+
+
+@dataclass
+class _Pending:
+    session: NavSession
+    rgb: np.ndarray
+    depth: np.ndarray
+    pos: np.ndarray
+    ori: np.ndarray
+    event: threading.Event = field(default_factory=threading.Event)
+    result: Optional[dict] = None
+
+
+class NavServer:
+    """Dynamic-batching navigation service over a JittedAgent.
+
+    Thread-safe: `create_session` / `step` / `close_session` may be
+    called from any number of client threads. A single batcher thread
+    owns the device.
+    """
+
+    def __init__(self, cfg: ExperimentConfig, agent: JittedAgent, *,
+                 max_batch: int = 8, max_wait_ms: float = 5.0,
+                 max_steps: Optional[int] = None):
+        self.cfg = cfg
+        self.agent = agent
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self.max_steps = max_steps or cfg.il.max_traj_len
+        self._sessions: Dict[int, NavSession] = {}
+        self._sid = itertools.count()
+        self._lock = threading.Lock()
+        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._batch_loop,
+                                        daemon=True)
+        self._thread.start()
+
+    # -- session lifecycle --------------------------------------------------
+
+    def create_session(self, instruction_tokens: np.ndarray) -> int:
+        """Encode the instruction (one (1, L) dispatch) and register a
+        fresh episode. Returns the session id."""
+        cfg = self.cfg
+        ids = _fit(np.asarray(instruction_tokens), cfg.il.max_text_len,
+                   cfg.planner.pad_token_id)[None]
+        mask = ids != cfg.planner.pad_token_id
+        embeds = np.asarray(self.agent.encode_text(ids, mask),
+                            np.float32)[0]
+        ses = NavSession(
+            sid=next(self._sid), txt_embeds=embeds, txt_mask=mask[0],
+            gmap=TopoMap(loc_noise=cfg.il.loc_noise,
+                         merge_ghost=cfg.graph.merge_ghost))
+        with self._lock:
+            self._sessions[ses.sid] = ses
+        return ses.sid
+
+    def step(self, sid: int, rgb: np.ndarray, depth: np.ndarray,
+             pos: np.ndarray, ori_xyzw: np.ndarray,
+             timeout: Optional[float] = 60.0) -> dict:
+        """Submit one observation; blocks until the batched result.
+
+        rgb (12, H, W, 3) uint8 ccw views; depth (12, Hd, Wd, 1) in
+        [0,1]; pos (3,) world position; ori_xyzw (4,) quaternion.
+        Returns {"action": env-action dict, "done": bool, "stop_prob":
+        float, "num_nodes": int, "num_ghosts": int}.
+        """
+        with self._lock:
+            ses = self._sessions[sid]
+        if ses.done:
+            raise RuntimeError(f"session {sid} already stopped")
+        p = _Pending(ses, np.asarray(rgb), np.asarray(depth),
+                     np.asarray(pos, np.float64),
+                     np.asarray(ori_xyzw, np.float64))
+        self._queue.put(p)
+        if not p.event.wait(timeout):
+            raise TimeoutError(f"step for session {sid} timed out")
+        if isinstance(p.result, Exception):
+            raise p.result
+        return p.result
+
+    def close_session(self, sid: int) -> dict:
+        with self._lock:
+            ses = self._sessions.pop(sid)
+        return {"steps": ses.stepk, "history": ses.history}
+
+    def shutdown(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # -- batcher ------------------------------------------------------------
+
+    def _collect(self) -> List[_Pending]:
+        try:
+            first = self._queue.get(timeout=0.05)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = _now() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            left = deadline - _now()
+            if left <= 0:
+                break
+            try:
+                batch.append(self._queue.get(timeout=left))
+            except queue.Empty:
+                break
+        return batch
+
+    def _batch_loop(self):
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                self._process(batch)
+            except Exception as e:           # surface to every caller
+                for p in batch:
+                    p.result = e
+                    p.event.set()
+
+    def _process(self, batch: List[_Pending]):
+        cfg = self.cfg
+        n = len(batch)
+        Bs = self.max_batch                   # static device batch
+        rgb = np.zeros((Bs,) + batch[0].rgb.shape, batch[0].rgb.dtype)
+        dep = np.zeros((Bs,) + batch[0].depth.shape,
+                       batch[0].depth.dtype)
+        for i, p in enumerate(batch):
+            rgb[i] = p.rgb
+            dep[i] = p.depth
+
+        # ---- dispatch 1: fused perception over the padded slots ----
+        wp = self.agent.perceive(rgb, dep)
+        wp_h = {k: np.asarray(wp[k]) for k in
+                ("cand_valid", "cand_angles", "cand_distances")}
+        pano_embeds = np.asarray(wp["pano_embeds"], np.float32)
+        avg_pano = np.asarray(wp["avg_pano_embeds"], np.float32)
+
+        # ---- host: topo-map updates + padded graph emission ----
+        G = cfg.planner.max_gmap_len
+        Dh = cfg.planner.hidden_size
+        emits = []
+        for i, p in enumerate(batch):
+            ses = p.session
+            valid = wp_h["cand_valid"][i]
+            tok_idx = np.flatnonzero(valid)
+            ses.prev_node = ses.gmap.update(
+                ses.prev_node, ses.stepk + 1, p.pos, p.ori,
+                avg_pano[i], wp_h["cand_angles"][i][valid],
+                wp_h["cand_distances"][i][valid],
+                pano_embeds[i][tok_idx], tok_idx, ses.stepk)
+            ses.stepk += 1
+        G_step = G
+        if cfg.planner.gmap_len_buckets:
+            need = max(1 + p.session.gmap.num_nodes
+                       + len(p.session.gmap.ghosts) for p in batch)
+            fits = [b for b in cfg.planner.gmap_len_buckets
+                    if need <= b < G]
+            G_step = min(fits) if fits else G
+        for p in batch:
+            ses = p.session
+            emits.append(ses.gmap.emit(ses.prev_node, p.pos, p.ori,
+                                       G_step, Dh))
+        pad_emit = {k: np.zeros_like(emits[0][k])
+                    for k in ("img_fts", "step_ids", "pos_fts", "mask",
+                              "visited", "pair_dists")}
+        gmap_batch = {
+            k: np.stack([e[k] for e in emits]
+                        + [pad_emit[k]] * (Bs - n))
+            for k in pad_emit}
+        L = cfg.il.max_text_len
+        txt_e = np.zeros((Bs, L, self.cfg.planner.hidden_size),
+                         np.float32)
+        txt_m = np.zeros((Bs, L), bool)
+        for i, p in enumerate(batch):
+            txt_e[i] = p.session.txt_embeds
+            txt_m[i] = p.session.txt_mask
+        # empty slots need one valid token / node for finite softmax
+        txt_m[n:, 0] = True
+        gmap_batch["mask"][n:, 0] = True
+
+        # ---- dispatch 2: navigation scoring ----
+        nav = self.agent.score_navigation(txt_e, txt_m, gmap_batch)
+        logits = np.asarray(nav["global_logits"], np.float32)[:n]
+        probs = _softmax(logits)
+
+        # ---- per-session action translation ----
+        for i, p in enumerate(batch):
+            ses = p.session
+            gmap = ses.gmap
+            emit = emits[i]
+            gmap.node_stop_scores[ses.prev_node] = float(probs[i, 0])
+            slot = int(logits[i].argmax())
+            is_stop = (slot == 0 or ses.stepk >= self.max_steps
+                       or emit["no_ghost_left"])
+            if not is_stop:
+                kind, idx = emit["slot_list"][slot]
+                if kind != "ghost":
+                    is_stop = True
+            control = cfg.il.back_algo == "control"
+            if is_stop:
+                stop_node = int(np.argmax(gmap.node_stop_scores))
+                back = ([(v, gmap.node_pos[v]) for v in
+                         gmap.path(ses.prev_node, stop_node)][1:]
+                        if control else None)
+                action = {"act": 0,
+                          "stop_pos": gmap.node_pos[stop_node],
+                          "back_path": back, "tryout": cfg.il.tryout}
+                ses.done = True
+            else:
+                gid = idx
+                _, front = gmap.front_to_ghost(gid)
+                back = ([(v, gmap.node_pos[v]) for v in
+                         gmap.path(ses.prev_node, front)][1:]
+                        if control else None)
+                action = {"act": 4,
+                          "front_pos": gmap.node_pos[front],
+                          "ghost_pos": gmap.ghosts[gid].aug_pos,
+                          "back_path": back, "tryout": cfg.il.tryout}
+                ses.prev_node = front
+                if cfg.graph.consume_ghost:
+                    gmap.delete_ghost(gid)
+            ses.history.append({"step": ses.stepk,
+                                "pos": p.pos.tolist(),
+                                "stop_prob": float(probs[i, 0])})
+            p.result = {"action": action, "done": ses.done,
+                        "stop_prob": float(probs[i, 0]),
+                        "num_nodes": gmap.num_nodes,
+                        "num_ghosts": len(gmap.ghosts)}
+            p.event.set()
+
+
+def _softmax(x: np.ndarray) -> np.ndarray:
+    m = x.max(axis=-1, keepdims=True)
+    e = np.exp(x - m)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def _now() -> float:
+    import time
+    return time.monotonic()

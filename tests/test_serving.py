@@ -1,0 +1,135 @@
+"""NavServer: session-based serving with dynamic batching.
+
+Covers: concurrent client threads each driving their own episode against
+the geometric world; request coalescing into fixed-slot device batches;
+action-dict compatibility with the env layer; session lifecycle.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from etpnav_tpu.config import tiny_config
+from etpnav_tpu.env.geometric import GeometricNavEnv
+from etpnav_tpu.serving import NavServer
+from etpnav_tpu.training.agent import (JittedAgent, init_agent_params)
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def server_and_cfg():
+    cfg = tiny_config()
+    agent = JittedAgent(cfg, init_agent_params(jax.random.PRNGKey(0), cfg))
+    server = NavServer(cfg, agent, max_batch=4, max_wait_ms=100.0,
+                       max_steps=4)
+    yield server, cfg
+    server.shutdown()
+
+
+def _make_env(cfg, seed):
+    return GeometricNavEnv(
+        num_envs=1, seed=seed, vocab_size=cfg.planner.vocab_size,
+        max_instr_len=cfg.il.max_text_len, image_size=cfg.clip.image_size,
+        depth_size=cfg.depth.input_size, pad_id=cfg.planner.pad_token_id)
+
+
+def _run_episode(server, cfg, seed, out):
+    env = _make_env(cfg, seed)
+    obs = env.reset()[0]
+    sid = server.create_session(obs["instruction"])
+    steps = 0
+    try:
+        while True:
+            pos, ori = env.get_pos_ori()
+            res = server.step(sid, obs["rgb"], obs["depth"],
+                              pos[0], ori[0])
+            steps += 1
+            assert res["action"]["act"] in (0, 4)
+            assert np.isfinite(res["stop_prob"])
+            assert res["num_nodes"] >= 1
+            r = env.step([res["action"]])[0]
+            obs = r.observation
+            if res["done"] or r.done:
+                break
+        info = server.close_session(sid)
+        out[seed] = {"steps": steps, "closed": info["steps"],
+                     "history": len(info["history"])}
+    except Exception as e:          # surface thread failures to pytest
+        out[seed] = e
+
+
+def test_concurrent_sessions_complete(server_and_cfg):
+    server, cfg = server_and_cfg
+    out = {}
+    threads = [threading.Thread(target=_run_episode,
+                                args=(server, cfg, s, out))
+               for s in (1, 2, 3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert len(out) == 3
+    for seed, r in out.items():
+        assert not isinstance(r, Exception), r
+        assert 1 <= r["steps"] <= 5
+        assert r["closed"] == r["history"] == r["steps"]
+
+
+def test_simultaneous_steps_coalesce(server_and_cfg):
+    """Three steps submitted together run as ONE perceive dispatch."""
+    server, cfg = server_and_cfg
+    calls = []
+    orig = server.agent.perceive
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    server.agent.perceive = counting
+    try:
+        envs = [_make_env(cfg, 10 + i) for i in range(3)]
+        obs = [e.reset()[0] for e in envs]
+        sids = [server.create_session(o["instruction"]) for o in obs]
+        barrier = threading.Barrier(3)
+        results = {}
+
+        def one(i):
+            barrier.wait()
+            pos, ori = envs[i].get_pos_ori()
+            results[i] = server.step(sids[i], obs[i]["rgb"],
+                                     obs[i]["depth"], pos[0], ori[0])
+
+        ts = [threading.Thread(target=one, args=(i,)) for i in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+        assert len(results) == 3
+        # all three coalesced into one (or at most two, if the batcher
+        # woke between arrivals) device dispatches
+        assert len(calls) <= 2
+        for sid in sids:
+            server.close_session(sid)
+    finally:
+        server.agent.perceive = orig
+
+
+def test_step_after_stop_rejected(server_and_cfg):
+    server, cfg = server_and_cfg
+    env = _make_env(cfg, 99)
+    obs = env.reset()[0]
+    sid = server.create_session(obs["instruction"])
+    done = False
+    for _ in range(6):
+        pos, ori = env.get_pos_ori()
+        res = server.step(sid, obs["rgb"], obs["depth"], pos[0], ori[0])
+        if res["done"]:
+            done = True
+            break
+        obs = env.step([res["action"]])[0].observation
+    assert done                      # max_steps=4 forces a stop
+    with pytest.raises(RuntimeError):
+        server.step(sid, obs["rgb"], obs["depth"], pos[0], ori[0])
+    server.close_session(sid)

@@ -45,7 +45,12 @@ def main():
     params = jax.device_put(
         agent_lib.init_agent_params(jax.random.PRNGKey(0), cfg))
 
-    B = 32                       # server operating point (fills the MXU)
+    # Server operating point: B=16 panoramas (192 images) per dispatch.
+    # Measured sweep on v5e-1 (tools/perf_probe.py --batch N): 8 -> 835,
+    # 12 -> 910, 16 -> 932, 20 -> 923, 24 -> 866, 32 -> 825, 64 -> 813
+    # panos/s — per-pano efficiency peaks at B=16 and degrades once the
+    # (B*12, 50, 768) activation set outgrows VMEM headroom.
+    B = 16
     rng = np.random.default_rng(0)
     rgb = jnp.asarray(rng.integers(0, 256, (B, 12, 224, 224, 3)), jnp.uint8)
     depth = jnp.asarray(rng.random((B, 12, 128, 128, 1), np.float32))
@@ -65,7 +70,7 @@ def main():
         return c
 
     fn = jax.jit(chained)
-    iters = 48
+    iters = 96                   # ~1.6 s per timed call at B=16
     xs = jnp.arange(1, iters + 1, dtype=jnp.int32) % 7
     np.asarray(fn(params, rgb, depth, xs))             # compile + warm
 

@@ -75,6 +75,9 @@ class TopoMap:
         self._dist = np.zeros((0, 0), np.float64)
         self._hops = np.zeros((0, 0), np.int32)    # edges on shortest path
         self._next = np.zeros((0, 0), np.int32)    # next-hop pointers
+        # every edge ever added (the true graph; APSP relaxation may
+        # route around an edge, but it still exists for visualization)
+        self._edge_set: set = set()
 
     # -- graph construction -------------------------------------------------
 
@@ -97,6 +100,8 @@ class TopoMap:
     def add_edge(self, u: int, v: int, w: float):
         """Relax APSP through a new/updated edge. Native C++ core when
         available (native/topo_core.cpp), else vectorized numpy O(V^2)."""
+        if u != v:
+            self._edge_set.add((min(u, v), max(u, v)))
         D, H, Nx = self._dist, self._hops, self._next
         if w >= D[u, v]:
             return
@@ -124,11 +129,11 @@ class TopoMap:
         return int(self._hops[u, v])
 
     def edge_list(self) -> List[tuple]:
-        """Direct graph edges as (u, v) pairs with u < v — the pairs one
-        hop apart in the APSP (for visualization / export)."""
-        n = self.num_nodes
-        us, vs = np.nonzero(np.triu(self._hops[:n, :n] == 1, k=1))
-        return list(zip(us.tolist(), vs.tolist()))
+        """All direct graph edges as (u, v) pairs with u < v (for
+        visualization / export). This is the true edge set — an edge
+        stays listed even after APSP relaxation finds a shorter
+        multi-hop route through other nodes."""
+        return sorted(self._edge_set)
 
     def path(self, u: int, v: int) -> List[int]:
         """Node indices from u to v inclusive (like nx shortest path)."""

@@ -17,10 +17,16 @@ the trainer uses:
 
 TPU-idiomatic serving choices:
 - static shapes: the device batch is always padded to `max_batch` slots
-  (empty slots carry zeros and are discarded), so exactly two programs
-  are compiled regardless of load;
-- graph-length bucketing (PLANNER.gmap_len_buckets) bounds the
-  navigation program's shape set, as in eval;
+  (empty slots carry zeros and are discarded), so the compiled-program
+  set is small and load-independent: one perception program, one
+  navigation-scoring program per reached gmap-length bucket
+  (PLANNER.gmap_len_buckets, as in eval), plus the one-off text-encoder
+  program — warm these before taking traffic (first compile is tens of
+  seconds on TPU);
+- stepping dispatches all happen on the single batcher thread;
+  `create_session` additionally dispatches the text encoder from the
+  calling thread (JAX dispatch is thread-safe; through a high-latency
+  device link, prefer creating sessions before traffic ramps);
 - the host never blocks the device: map updates + action translation
   (the only Python logic) run between the two dispatches.
 
@@ -43,7 +49,7 @@ import numpy as np
 from etpnav_tpu.config import ExperimentConfig
 from etpnav_tpu.graph.topo_map import TopoMap
 from etpnav_tpu.training.agent import JittedAgent
-from etpnav_tpu.training.rollout import _fit
+from etpnav_tpu.training.rollout import _fit, _softmax, build_env_action
 
 
 @dataclass
@@ -55,6 +61,7 @@ class NavSession:
     prev_node: Optional[int] = None
     stepk: int = 0
     done: bool = False
+    in_flight: bool = False         # at most one step() per session
     history: List[dict] = field(default_factory=list)
 
 
@@ -67,6 +74,7 @@ class _Pending:
     ori: np.ndarray
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[dict] = None
+    cancelled: bool = False         # set by a timed-out/aborted caller
 
 
 class NavServer:
@@ -115,27 +123,47 @@ class NavServer:
 
     def step(self, sid: int, rgb: np.ndarray, depth: np.ndarray,
              pos: np.ndarray, ori_xyzw: np.ndarray,
-             timeout: Optional[float] = 60.0) -> dict:
+             timeout: Optional[float] = 600.0) -> dict:
         """Submit one observation; blocks until the batched result.
 
         rgb (12, H, W, 3) uint8 ccw views; depth (12, Hd, Wd, 1) in
         [0,1]; pos (3,) world position; ori_xyzw (4,) quaternion.
         Returns {"action": env-action dict, "done": bool, "stop_prob":
         float, "num_nodes": int, "num_ghosts": int}.
+
+        The default timeout covers cold-start compiles (tens of seconds
+        per program on TPU). At most one step may be in flight per
+        session (a concurrent second call raises). On timeout the
+        request is cancelled best-effort: if the batcher has not started
+        processing it, it will be skipped and no session state changes;
+        a request already being processed completes server-side, in
+        which case retrying the same observation would register it twice
+        — treat a TimeoutError as fatal for the session.
         """
+        if self._stop.is_set():
+            raise RuntimeError("server is shut down")
         with self._lock:
             ses = self._sessions[sid]
-        if ses.done:
-            raise RuntimeError(f"session {sid} already stopped")
+            if ses.done:
+                raise RuntimeError(f"session {sid} already stopped")
+            if ses.in_flight:
+                raise RuntimeError(
+                    f"session {sid} already has a step in flight")
+            ses.in_flight = True
         p = _Pending(ses, np.asarray(rgb), np.asarray(depth),
                      np.asarray(pos, np.float64),
                      np.asarray(ori_xyzw, np.float64))
-        self._queue.put(p)
-        if not p.event.wait(timeout):
-            raise TimeoutError(f"step for session {sid} timed out")
-        if isinstance(p.result, Exception):
-            raise p.result
-        return p.result
+        try:
+            self._queue.put(p)
+            if not p.event.wait(timeout):
+                p.cancelled = True
+                raise TimeoutError(f"step for session {sid} timed out")
+            if isinstance(p.result, Exception):
+                raise p.result
+            return p.result
+        finally:
+            with self._lock:
+                ses.in_flight = False
 
     def close_session(self, sid: int) -> dict:
         with self._lock:
@@ -145,6 +173,19 @@ class NavServer:
     def shutdown(self):
         self._stop.set()
         self._thread.join(timeout=5)
+        self._drain_queue(RuntimeError("server is shut down"))
+
+    def _drain_queue(self, exc: Exception):
+        """Fail any still-queued requests promptly instead of letting
+        their callers block out their full timeout."""
+        while True:
+            try:
+                p = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if not p.event.is_set():
+                p.result = exc
+                p.event.set()
 
     # -- batcher ------------------------------------------------------------
 
@@ -168,14 +209,22 @@ class NavServer:
     def _batch_loop(self):
         while not self._stop.is_set():
             batch = self._collect()
+            batch = [p for p in batch if not p.cancelled]
             if not batch:
                 continue
             try:
                 self._process(batch)
-            except Exception as e:           # surface to every caller
+            except Exception as e:
+                # surface the failure to callers still waiting; their
+                # sessions may already be partially updated (the map
+                # update runs before scoring), so poison them — a retry
+                # would register the same observation twice
                 for p in batch:
-                    p.result = e
-                    p.event.set()
+                    if not p.event.is_set():
+                        p.session.done = True
+                        p.result = e
+                        p.event.set()
+        self._drain_queue(RuntimeError("server is shut down"))
 
     def _process(self, batch: List[_Pending]):
         cfg = self.cfg
@@ -243,42 +292,16 @@ class NavServer:
         logits = np.asarray(nav["global_logits"], np.float32)[:n]
         probs = _softmax(logits)
 
-        # ---- per-session action translation ----
+        # ---- per-session action translation (shared with rollout) ----
         for i, p in enumerate(batch):
             ses = p.session
             gmap = ses.gmap
-            emit = emits[i]
             gmap.node_stop_scores[ses.prev_node] = float(probs[i, 0])
-            slot = int(logits[i].argmax())
-            is_stop = (slot == 0 or ses.stepk >= self.max_steps
-                       or emit["no_ghost_left"])
-            if not is_stop:
-                kind, idx = emit["slot_list"][slot]
-                if kind != "ghost":
-                    is_stop = True
-            control = cfg.il.back_algo == "control"
-            if is_stop:
-                stop_node = int(np.argmax(gmap.node_stop_scores))
-                back = ([(v, gmap.node_pos[v]) for v in
-                         gmap.path(ses.prev_node, stop_node)][1:]
-                        if control else None)
-                action = {"act": 0,
-                          "stop_pos": gmap.node_pos[stop_node],
-                          "back_path": back, "tryout": cfg.il.tryout}
-                ses.done = True
-            else:
-                gid = idx
-                _, front = gmap.front_to_ghost(gid)
-                back = ([(v, gmap.node_pos[v]) for v in
-                         gmap.path(ses.prev_node, front)][1:]
-                        if control else None)
-                action = {"act": 4,
-                          "front_pos": gmap.node_pos[front],
-                          "ghost_pos": gmap.ghosts[gid].aug_pos,
-                          "back_path": back, "tryout": cfg.il.tryout}
-                ses.prev_node = front
-                if cfg.graph.consume_ghost:
-                    gmap.delete_ghost(gid)
+            action, new_prev, is_stop, _ = build_env_action(
+                cfg, gmap, emits[i], int(logits[i].argmax()),
+                ses.prev_node, force_stop=ses.stepk >= self.max_steps)
+            ses.prev_node = new_prev
+            ses.done = is_stop
             ses.history.append({"step": ses.stepk,
                                 "pos": p.pos.tolist(),
                                 "stop_prob": float(probs[i, 0])})
@@ -287,12 +310,6 @@ class NavServer:
                         "num_nodes": gmap.num_nodes,
                         "num_ghosts": len(gmap.ghosts)}
             p.event.set()
-
-
-def _softmax(x: np.ndarray) -> np.ndarray:
-    m = x.max(axis=-1, keepdims=True)
-    e = np.exp(x - m)
-    return e / e.sum(axis=-1, keepdims=True)
 
 
 def _now() -> float:

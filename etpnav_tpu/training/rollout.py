@@ -314,46 +314,17 @@ class RolloutEngine:
             else:
                 acts = logits.argmax(1)
 
-            # ---- build env actions ----
+            # ---- build env actions (shared translation helper) ----
             env_actions = []
             for i in range(n):
                 gi = live[i]
-                gmap = gmaps[gi]
-                emit = emits[i]
-                slot = int(acts[i])
-                is_stop = (slot == 0 or stepk == T - 1
-                           or emit["no_ghost_left"])
-                if not is_stop:
-                    kind, idx = emit["slot_list"][slot]
-                    if kind != "ghost":   # visited slots are -inf; safety
-                        is_stop = True
-                if is_stop:
-                    stop_node = int(np.argmax(gmap.node_stop_scores))
-                    back_path = None
-                    if il.back_algo == "control":
-                        back_path = [
-                            (v, gmap.node_pos[v]) for v in
-                            gmap.path(prev_node[gi], stop_node)][1:]
-                    env_actions.append({
-                        "act": 0, "stop_pos": gmap.node_pos[stop_node],
-                        "back_path": back_path, "tryout": il.tryout})
-                else:
-                    gid = idx
-                    _, front = gmap.front_to_ghost(gid)
-                    ghost_pos = gmap.ghosts[gid].aug_pos
-                    back_path = None
-                    if il.back_algo == "control":
-                        back_path = [
-                            (v, gmap.node_pos[v]) for v in
-                            gmap.path(prev_node[gi], front)][1:]
-                    env_actions.append({
-                        "act": 4, "front_pos": gmap.node_pos[front],
-                        "ghost_pos": ghost_pos, "back_path": back_path,
-                        "tryout": il.tryout})
-                    prev_node[gi] = front
-                    if cfg.graph.consume_ghost:  # MODEL.consume_ghost
-                        gmap.delete_ghost(gid)
-                        ghost_real[gi].pop(gid, None)
+                action, new_prev, _, consumed = build_env_action(
+                    cfg, gmaps[gi], emits[i], int(acts[i]),
+                    prev_node[gi], force_stop=stepk == T - 1)
+                env_actions.append(action)
+                prev_node[gi] = new_prev
+                if consumed is not None:
+                    ghost_real[gi].pop(consumed, None)
 
             if record_video:
                 from etpnav_tpu.utils.visualization import \
@@ -491,6 +462,48 @@ class RolloutEngine:
                 share = 1.0 / len(entries)
                 for (t, tok) in entries:
                     w_slice[si, t * P + tok] += share
+
+
+def build_env_action(cfg, gmap: TopoMap, emit: dict, slot: int,
+                     prev_node: int, *, force_stop: bool = False):
+    """Translate a chosen graph slot into an env-action dict
+    (environments.py:436-477 semantics) — the ONE implementation shared
+    by the rollout engine and the serving layer.
+
+    Returns (action, new_prev_node, is_stop, consumed_gid): act 0 stops
+    at the best-stop-score node (walking back_path under back_algo ==
+    'control'); act 4 moves to a ghost via its front node, consuming the
+    ghost when GRAPH.consume_ghost. consumed_gid is the deleted ghost id
+    (None otherwise) so callers can drop side state (e.g. ghost_real).
+    """
+    il = cfg.il
+    is_stop = slot == 0 or force_stop or emit["no_ghost_left"]
+    if not is_stop:
+        kind, idx = emit["slot_list"][slot]
+        if kind != "ghost":   # visited slots are -inf; safety
+            is_stop = True
+    control = il.back_algo == "control"
+    if is_stop:
+        stop_node = int(np.argmax(gmap.node_stop_scores))
+        back_path = ([(v, gmap.node_pos[v]) for v in
+                      gmap.path(prev_node, stop_node)][1:]
+                     if control else None)
+        action = {"act": 0, "stop_pos": gmap.node_pos[stop_node],
+                  "back_path": back_path, "tryout": il.tryout}
+        return action, prev_node, True, None
+    gid = idx
+    _, front = gmap.front_to_ghost(gid)
+    back_path = ([(v, gmap.node_pos[v]) for v in
+                  gmap.path(prev_node, front)][1:]
+                 if control else None)
+    action = {"act": 4, "front_pos": gmap.node_pos[front],
+              "ghost_pos": gmap.ghosts[gid].aug_pos,
+              "back_path": back_path, "tryout": il.tryout}
+    consumed = None
+    if cfg.graph.consume_ghost:  # MODEL.consume_ghost
+        gmap.delete_ghost(gid)
+        consumed = gid
+    return action, front, False, consumed
 
 
 def _fit(tokens: np.ndarray, max_len: int, pad_id: int) -> np.ndarray:

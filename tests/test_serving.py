@@ -116,6 +116,48 @@ def test_simultaneous_steps_coalesce(server_and_cfg):
         server.agent.perceive = orig
 
 
+def test_concurrent_same_session_step_rejected(server_and_cfg):
+    """At most one in-flight step per session: a second concurrent call
+    fails fast instead of double-applying the observation."""
+    server, cfg = server_and_cfg
+    env = _make_env(cfg, 42)
+    obs = env.reset()[0]
+    sid = server.create_session(obs["instruction"])
+    pos, ori = env.get_pos_ori()
+    errs = []
+    started = threading.Event()
+
+    def first():
+        started.set()
+        server.step(sid, obs["rgb"], obs["depth"], pos[0], ori[0])
+
+    t = threading.Thread(target=first)
+    t.start()
+    started.wait()
+    import time
+    time.sleep(0.02)            # let the first call mark in_flight
+    try:
+        server.step(sid, obs["rgb"], obs["depth"], pos[0], ori[0])
+    except RuntimeError as e:
+        errs.append(str(e))
+    t.join(timeout=300)
+    assert errs and "in flight" in errs[0]
+    server.close_session(sid)
+
+
+def test_step_after_shutdown_rejected():
+    import jax as _jax
+    cfg = tiny_config()
+    agent = JittedAgent(cfg, init_agent_params(_jax.random.PRNGKey(1),
+                                               cfg))
+    server = NavServer(cfg, agent, max_batch=2, max_wait_ms=5.0)
+    server.shutdown()
+    with pytest.raises(RuntimeError):
+        server.step(0, np.zeros((12, 16, 16, 3), np.uint8),
+                    np.zeros((12, 16, 16, 1), np.float32),
+                    np.zeros(3), np.array([0, 0, 0, 1.0]))
+
+
 def test_step_after_stop_rejected(server_and_cfg):
     server, cfg = server_and_cfg
     env = _make_env(cfg, 99)

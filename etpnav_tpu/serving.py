@@ -104,6 +104,44 @@ class NavServer:
 
     # -- session lifecycle --------------------------------------------------
 
+    def warmup(self) -> int:
+        """Compile every device program before taking traffic: the text
+        encoder, the fused perception program, and one navigation-scoring
+        program per gmap-length bucket (plus the full-length fallback).
+        First compiles cost tens of seconds each on TPU; calling this at
+        deploy time keeps them out of live request latency. Returns the
+        number of programs warmed."""
+        cfg = self.cfg
+        Bs = self.max_batch
+        L = cfg.il.max_text_len
+        Dh = cfg.planner.hidden_size
+        ids = np.full((1, L), cfg.planner.pad_token_id, np.int32)
+        mask = np.zeros((1, L), bool)
+        mask[:, 0] = True
+        self.agent.encode_text(ids, mask)
+        rgb = np.zeros((Bs, 12, cfg.clip.image_size, cfg.clip.image_size,
+                        3), np.uint8)
+        dep = np.zeros((Bs, 12, cfg.depth.input_size,
+                        cfg.depth.input_size, 1), np.float32)
+        self.agent.perceive(rgb, dep)
+        buckets = list(cfg.planner.gmap_len_buckets or ())
+        lengths = sorted({*buckets, cfg.planner.max_gmap_len})
+        txt_e = np.zeros((Bs, L, Dh), np.float32)
+        txt_m = np.zeros((Bs, L), bool)
+        txt_m[:, 0] = True
+        for G in lengths:
+            gmap = {
+                "img_fts": np.zeros((Bs, G, Dh), np.float32),
+                "step_ids": np.zeros((Bs, G), np.int32),
+                "pos_fts": np.zeros((Bs, G, 7), np.float32),
+                "mask": np.zeros((Bs, G), bool),
+                "visited": np.zeros((Bs, G), bool),
+                "pair_dists": np.zeros((Bs, G, G), np.float32),
+            }
+            gmap["mask"][:, 0] = True
+            self.agent.score_navigation(txt_e, txt_m, gmap)
+        return 2 + len(lengths)
+
     def create_session(self, instruction_tokens: np.ndarray) -> int:
         """Encode the instruction (one (1, L) dispatch) and register a
         fresh episode. Returns the session id."""

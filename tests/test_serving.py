@@ -145,6 +145,14 @@ def test_concurrent_same_session_step_rejected(server_and_cfg):
     server.close_session(sid)
 
 
+def test_warmup_compiles_all_buckets(server_and_cfg):
+    server, cfg = server_and_cfg
+    n = server.warmup()
+    buckets = {*(cfg.planner.gmap_len_buckets or ()),
+               cfg.planner.max_gmap_len}
+    assert n == 2 + len(buckets)
+
+
 def test_step_after_shutdown_rejected():
     import jax as _jax
     cfg = tiny_config()

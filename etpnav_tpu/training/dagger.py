@@ -253,6 +253,213 @@ class DaggerTrainer:
         return losses
 
 
+class RecVLNBertDagger:
+    """DAgger over the waypoint-candidate action space, driving the
+    recurrent VLN-BERT policy (models/rec_vlnbert.py).
+
+    Capability target: the reference dagger_trainer's candidate-space
+    path — mode='language' once, then per step mode='waypoint' candidates
+    + mode='navigation' logits with an oracle candidate teacher
+    (dagger_trainer.py:247-302, oracle via cand_real_pos + dist-to-goal,
+    environments.py:121-143,241-260). Candidate slot 0 is STOP (teacher
+    picks it inside the stop-trigger radius, ss_trainer_ETP.py:283
+    semantics); motion slots execute as act-4 teleport steps.
+
+    candidate_fn(obs) -> dict with numpy arrays:
+      rgb (B, K-1, rgb_dim), depth (B, K-1, depth_dim),
+      ang (B, K-1, 4) [sin/cos heading, sin/cos elevation],
+      angles (B, K-1) ccw radians, dists (B, K-1) meters,
+      mask (B, K-1) valid slots
+    — in production the waypoint predictor's NMS output; tests use a
+    cheap geometric proposer.
+    """
+
+    STOP_TRIGGER_M = 1.5
+
+    def __init__(self, envs, cfg, dagger_cfg: DaggerConfig, candidate_fn,
+                 store_dir: str, seed: int = 0):
+        from etpnav_tpu.models import rec_vlnbert as rvb
+        self.rvb = rvb
+        self.envs = envs
+        self.cfg = cfg
+        self.dcfg = dagger_cfg
+        self.candidate_fn = candidate_fn
+        self.store = TrajectoryStore(store_dir)
+        self.params = rvb.init_params(jax.random.PRNGKey(seed), cfg)
+        self.tx = optax.adam(dagger_cfg.lr)
+        self.opt_state = self.tx.init(self.params)
+        self.rng = np.random.default_rng(seed)
+        self._jit_lang = jax.jit(functools.partial(
+            rvb.encode_language, cfg=cfg))
+        self._jit_nav = jax.jit(functools.partial(rvb.nav_step, cfg=cfg))
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _update(params, opt_state, tokens, lmask, rgb, dep, ang,
+                    cmask, teacher, smask):
+            loss, grads = jax.value_and_grad(rvb.sequence_nll)(
+                params, cfg, tokens, lmask, rgb, dep, ang, cmask,
+                teacher, smask, train=False)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+        self._jit_update = _update
+
+    def _assemble_slots(self, cand):
+        """Prepend the STOP slot (zero features, always valid)."""
+        B = cand["rgb"].shape[0]
+        z = lambda a: np.concatenate(
+            [np.zeros((B, 1) + a.shape[2:], a.dtype), a], axis=1)
+        rgb, dep, ang = z(cand["rgb"]), z(cand["depth"]), z(cand["ang"])
+        mask = np.concatenate(
+            [np.ones((B, 1), bool), cand["mask"]], axis=1)
+        return rgb, dep, ang, mask
+
+    def _teacher(self, cand) -> np.ndarray:
+        """Oracle candidate index per live env: STOP inside the trigger
+        radius, else the motion candidate whose simulated endpoint is
+        geodesically closest to the goal (dagger_trainer.py:210-230)."""
+        envs = self.envs
+        n = envs.num_envs
+        cur = envs.current_dist_to_goal()
+        teach = np.zeros(n, np.int64)
+        for i in range(n):
+            if cur[i] < self.STOP_TRIGGER_M:
+                continue                       # STOP slot 0
+            valid = np.flatnonzero(cand["mask"][i])
+            pos = envs.cand_real_pos(i, cand["angles"][i][valid],
+                                     cand["dists"][i][valid])
+            dg = [envs.point_dist_to_goal(i, p) for p in pos]
+            teach[i] = 1 + valid[int(np.argmin(dg))]
+        return teach
+
+    def collect(self, beta: float, episodes: int):
+        envs, rvb = self.envs, self.rvb
+        collected = 0
+        while collected < episodes:
+            envs.resume_all()
+            obs = envs.reset()
+            B = envs.num_envs
+            tokens = np.stack([o["instruction"] for o in obs])
+            lmask = tokens != self.cfg.pad_token_id
+            state, feats = self._jit_lang(
+                self.params, tokens=jnp.asarray(tokens),
+                mask=jnp.asarray(lmask))
+            trajs = [dict(tokens=tokens[i], rgb=[], dep=[], ang=[],
+                          cmask=[], teacher=[]) for i in range(B)]
+            live = list(range(B))
+
+            for _ in range(self.dcfg.max_steps):
+                n = envs.num_envs
+                cand = self.candidate_fn(obs)
+                rgb, dep, ang, cmask = self._assemble_slots(cand)
+                teach = self._teacher(cand)
+                idx = np.asarray(live)
+                logits, state = self._jit_nav(
+                    self.params, state=state,
+                    lang_feats=feats[idx], lang_mask=jnp.asarray(lmask)[idx],
+                    cand_rgb=jnp.asarray(rgb, jnp.float32),
+                    cand_depth=jnp.asarray(dep, jnp.float32),
+                    cand_dir=jnp.asarray(ang, jnp.float32),
+                    cand_mask=jnp.asarray(cmask))
+                policy_act = np.asarray(jnp.argmax(logits, -1))
+                acts = np.where(self.rng.random(n) < beta, teach,
+                                policy_act)
+                for i in range(n):
+                    t = trajs[live[i]]
+                    t["rgb"].append(rgb[i])
+                    t["dep"].append(dep[i])
+                    t["ang"].append(ang[i])
+                    t["cmask"].append(cmask[i])
+                    t["teacher"].append(int(teach[i]))
+                pos, _ = envs.get_pos_ori()
+                env_actions = []
+                for i, a in enumerate(acts):
+                    if a == 0:
+                        env_actions.append(
+                            {"act": 0, "stop_pos": pos[i],
+                             "back_path": None})
+                    else:
+                        tgt = envs.cand_real_pos(
+                            i, [cand["angles"][i][a - 1]],
+                            [cand["dists"][i][a - 1]])[0]
+                        env_actions.append(
+                            {"act": 4, "front_pos": pos[i],
+                             "ghost_pos": tgt, "back_path": None})
+                results = envs.step(env_actions)
+                done_local = [i for i, r in enumerate(results) if r.done]
+                for i in reversed(done_local):
+                    envs.pause_at(i)
+                    live.pop(i)
+                    results.pop(i)
+                    state = jnp.delete(state, i, axis=0)
+                if envs.num_envs == 0:
+                    break
+                obs = [r.observation for r in results]
+
+            for t in trajs:
+                if t["teacher"]:
+                    self.store.append({
+                        "tokens": t["tokens"],
+                        "rgb": np.stack(t["rgb"]),
+                        "dep": np.stack(t["dep"]),
+                        "ang": np.stack(t["ang"]),
+                        "cmask": np.stack(t["cmask"]),
+                        "teacher": np.asarray(t["teacher"], np.int32),
+                    })
+                    collected += 1
+        self.store.flush()
+
+    def update(self, epochs: Optional[int] = None) -> float:
+        epochs = epochs or self.dcfg.epochs
+        trajs = list(self.store)
+        if not trajs:
+            return float("nan")
+        T = max(len(t["teacher"]) for t in trajs)
+        K = trajs[0]["rgb"].shape[1]
+        losses = []
+        for _ in range(epochs):
+            order = self.rng.permutation(len(trajs))
+            for s in range(0, len(order), self.dcfg.batch_size):
+                batch = [trajs[i] for i in order[s:s + self.dcfg.batch_size]]
+                B = len(batch)
+                Lmax = max(len(b["tokens"]) for b in batch)
+                tokens = np.zeros((B, Lmax), np.int64)
+                rgb = np.zeros((B, T, K, self.cfg.rgb_dim), np.float32)
+                dep = np.zeros((B, T, K, self.cfg.depth_dim), np.float32)
+                ang = np.zeros((B, T, K, self.cfg.angle_dim), np.float32)
+                cmask = np.zeros((B, T, K), bool)
+                teach = np.zeros((B, T), np.int32)
+                smask = np.zeros((B, T), bool)
+                for i, b in enumerate(batch):
+                    n = len(b["teacher"])
+                    tokens[i, :len(b["tokens"])] = b["tokens"]
+                    rgb[i, :n] = b["rgb"]
+                    dep[i, :n] = b["dep"]
+                    ang[i, :n] = b["ang"]
+                    cmask[i, :n] = b["cmask"]
+                    teach[i, :n] = b["teacher"]
+                    smask[i, :n] = True
+                # padded steps need >=1 valid candidate slot for a finite
+                # log-softmax (their loss rows are masked out anyway)
+                cmask[:, :, 0] = True
+                self.params, self.opt_state, loss = self._jit_update(
+                    self.params, self.opt_state, jnp.asarray(tokens),
+                    jnp.asarray(tokens != self.cfg.pad_token_id),
+                    jnp.asarray(rgb), jnp.asarray(dep), jnp.asarray(ang),
+                    jnp.asarray(cmask), jnp.asarray(teach),
+                    jnp.asarray(smask))
+                losses.append(float(loss))
+        return float(np.mean(losses))
+
+    def train(self) -> List[float]:
+        """beta = p ** iteration (dagger_trainer.py:535-629)."""
+        losses = []
+        for it in range(self.dcfg.iterations):
+            beta = self.dcfg.p ** it
+            self.collect(beta, self.dcfg.episodes_per_iter)
+            losses.append(self.update())
+        return losses
+
+
 class TeacherRecollectionSampler:
     """Simulator-replay alternative to the disk store
     (common/recollection_dataset.py:22-297): regenerates teacher

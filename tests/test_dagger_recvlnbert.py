@@ -1,0 +1,100 @@
+"""Candidate-space DAgger driving the recurrent VLN-BERT policy on the
+geometric env: oracle candidate teacher, collection, supervised update
+(dagger_trainer.py:187-629 candidate path; SURVEY.md §2 rows 23-24)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from etpnav_tpu.env.geometric import GeometricNavEnv
+from etpnav_tpu.models.rec_vlnbert import RecVLNBertConfig
+from etpnav_tpu.training.dagger import DaggerConfig, RecVLNBertDagger
+
+CFG = RecVLNBertConfig(
+    vocab_size=512, hidden=48, heads=4, intermediate=64, la_layers=2,
+    vl_layers=2, max_pos=32, rgb_dim=8, depth_dim=4, angle_dim=4,
+    max_cands=4, hidden_dropout=0.0, attn_dropout=0.0)
+
+ANGLES = np.array([0.0, math.pi / 2, 3 * math.pi / 2])  # fwd, left, right
+
+
+def _candidate_fn(obs):
+    """Cheap waypoint-predictor stand-in: 3 fixed headings at 1 m, with
+    pooled-pixel features made angle-dependent."""
+    B = len(obs)
+    rgb_pool = np.stack([o["rgb"][0].mean((0, 1)) for o in obs])
+    dep_pool = np.stack([o["depth"][0].mean((0, 1)) for o in obs])
+    K = len(ANGLES)
+    rgb = np.tile(rgb_pool[:, None], (1, K, 3))[:, :, :8].astype(np.float32)
+    dep = np.tile(dep_pool[:, None], (1, K, 4))[:, :, :4].astype(np.float32)
+    ang = np.stack([np.stack([np.sin(ANGLES), np.cos(ANGLES),
+                              np.zeros(K), np.ones(K)], -1)] * B)
+    rgb += ang[:, :, :1]                      # differentiate slots
+    return {
+        "rgb": rgb, "depth": dep, "ang": ang.astype(np.float32),
+        "angles": np.tile(ANGLES, (B, 1)),
+        "dists": np.full((B, K), 1.0),
+        "mask": np.ones((B, K), bool),
+    }
+
+
+@pytest.fixture
+def envs():
+    return GeometricNavEnv(num_envs=2, seed=3, vocab_size=CFG.vocab_size,
+                           max_instr_len=12, image_size=16, depth_size=16)
+
+
+def test_oracle_teacher_stops_at_goal(envs):
+    trainer = RecVLNBertDagger(envs, CFG, DaggerConfig(max_steps=4),
+                               _candidate_fn, "/tmp/_unused_store_rvb",
+                               seed=0)
+    envs.resume_all()
+    obs = envs.reset()
+    cand = _candidate_fn(obs)
+    teach = trainer._teacher(cand)
+    cur = envs.current_dist_to_goal()
+    for i in range(envs.num_envs):
+        if cur[i] < RecVLNBertDagger.STOP_TRIGGER_M:
+            assert teach[i] == 0
+        else:
+            assert 1 <= teach[i] <= len(ANGLES)
+            # the chosen motion candidate must not increase goal distance
+            valid = np.flatnonzero(cand["mask"][i])
+            pos = envs.cand_real_pos(i, cand["angles"][i][valid],
+                                     cand["dists"][i][valid])
+            dg = np.array([envs.point_dist_to_goal(i, p) for p in pos])
+            assert dg[teach[i] - 1] == dg.min()
+
+
+def test_collect_and_update(envs, tmp_path):
+    dcfg = DaggerConfig(iterations=2, episodes_per_iter=2, epochs=1,
+                        batch_size=2, lr=1e-3, max_steps=5)
+    trainer = RecVLNBertDagger(envs, CFG, dcfg, _candidate_fn,
+                               str(tmp_path / "store"), seed=0)
+    losses = trainer.train()
+    assert len(losses) == dcfg.iterations
+    assert np.isfinite(losses).all()
+    # trajectories were persisted with the full candidate record
+    trajs = list(trainer.store)
+    assert len(trajs) >= dcfg.episodes_per_iter
+    t = trajs[0]
+    K = 1 + len(ANGLES)
+    assert t["rgb"].shape[1:] == (K, CFG.rgb_dim)
+    assert t["cmask"].shape[1] == K
+    assert t["cmask"][:, 0].all()             # STOP slot always valid
+    assert (t["teacher"] >= 0).all() and (t["teacher"] < K).all()
+
+
+def test_update_learns_teacher(envs, tmp_path):
+    """With beta=1 (pure teacher) collection, repeated supervised epochs
+    drive the CE down — the policy imitates the oracle."""
+    dcfg = DaggerConfig(iterations=1, episodes_per_iter=2, epochs=1,
+                        batch_size=2, lr=3e-3, max_steps=5)
+    trainer = RecVLNBertDagger(envs, CFG, dcfg, _candidate_fn,
+                               str(tmp_path / "store"), seed=1)
+    trainer.collect(beta=1.0, episodes=2)
+    first = trainer.update(epochs=1)
+    last = trainer.update(epochs=3)
+    assert np.isfinite([first, last]).all()
+    assert last < first

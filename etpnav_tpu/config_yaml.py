@@ -30,6 +30,7 @@ _SECTION_FIELDS = {
     "GRAPH": "graph",
     "IL": "il",
     "PRETRAIN": "pretrain",
+    "DAGGER": "dagger",
     "MESH": "mesh",
     "EVAL": "eval",
     "INFERENCE": "inference",

@@ -88,6 +88,103 @@ def _build_ss_etp(cfg, args):
                            seed=cfg.seed, mesh=mesh)
 
 
+@register_trainer("DAgger")
+def _build_dagger(cfg, args):
+    """Legacy DAgger path: frozen-encoder features + oracle teacher over
+    either policy family (dagger_trainer.py:187-629). The encoders are
+    the production frozen towers (init or converted released weights via
+    MODEL.pretrained_path machinery); candidates for the rec_vlnbert
+    policy come from the real waypoint-predictor NMS output."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from etpnav_tpu.env.geometric import GeometricNavEnv
+    from etpnav_tpu.models import clip_vit, depth_resnet
+    from etpnav_tpu.training import agent as agent_mod
+    from etpnav_tpu.training.dagger import (
+        DaggerConfig,
+        DaggerTrainer,
+        RecVLNBertDagger,
+    )
+
+    num_envs = getattr(args, "num_envs", 0) or cfg.num_environments
+    envs = GeometricNavEnv(
+        num_envs=num_envs, seed=cfg.seed,
+        vocab_size=cfg.planner.vocab_size,
+        max_instr_len=cfg.il.max_text_len,
+        image_size=cfg.clip.image_size,
+        depth_size=cfg.depth.input_size,
+        pad_id=cfg.planner.pad_token_id)
+    d = cfg.dagger
+    dcfg = DaggerConfig(
+        iterations=d.iterations, episodes_per_iter=d.episodes_per_iter,
+        epochs=d.epochs, batch_size=d.batch_size, lr=d.lr, p=d.p,
+        max_steps=d.max_steps)
+    params = agent_mod.init_agent_params(jax.random.PRNGKey(cfg.seed), cfg)
+
+    if d.policy == "cma":
+        from etpnav_tpu.models.cma import CMAConfig
+        s = cfg.depth.input_size // 32
+        depth_channels = cfg.depth.output_size // (s * s)
+
+        # pooled forward-view features, the quantities the reference
+        # captures via space_pool_{rgb,depth} forward hooks
+        # (dagger_trainer.py:255-266)
+        @jax.jit
+        def _feats(rgb, depth):
+            r = clip_vit.encode_image_uint8(params.clip, cfg.clip, rgb)
+            dd = depth_resnet.encode_depth(params.depth, cfg.depth, depth)
+            return r, dd.mean((1, 2))
+
+        def feature_fn(obs):
+            rgb = np.stack([o["rgb"][0] for o in obs])
+            dep = np.stack([o["depth"][0] for o in obs])
+            r, dd = _feats(jnp.asarray(rgb), jnp.asarray(dep))
+            return (np.asarray(r, np.float32), np.asarray(dd, np.float32))
+
+        ccfg = CMAConfig(vocab_size=cfg.planner.vocab_size,
+                         rgb_dim=cfg.clip.output_dim,
+                         depth_dim=depth_channels,
+                         pad_token_id=cfg.planner.pad_token_id)
+        return DaggerTrainer(envs, ccfg, dcfg, feature_fn, d.store_dir,
+                             seed=cfg.seed)
+
+    if d.policy != "rec_vlnbert":
+        raise ValueError(f"unknown DAGGER.policy {d.policy!r}")
+    from etpnav_tpu.models.rec_vlnbert import RecVLNBertConfig
+    enc = jax.jit(functools.partial(agent_mod.encode_panorama, cfg=cfg))
+    K = cfg.waypoint.max_predictions
+
+    def candidate_fn(obs):
+        rgb = np.stack([o["rgb"] for o in obs])
+        dep = np.stack([o["depth"] for o in obs])
+        wp = enc(params, rgb=jnp.asarray(rgb), depth=jnp.asarray(dep))
+        return {
+            "rgb": np.asarray(wp["rgb_fts"][:, :K], np.float32),
+            "depth": np.asarray(wp["dep_fts"][:, :K], np.float32),
+            "ang": np.asarray(wp["loc_fts"][:, :K], np.float32),
+            "angles": np.asarray(wp["cand_angles"], np.float64),
+            "dists": np.asarray(wp["cand_distances"], np.float64),
+            "mask": np.asarray(wp["cand_valid"]),
+        }
+
+    p = cfg.planner
+    rcfg = RecVLNBertConfig(
+        vocab_size=p.vocab_size, hidden=p.hidden_size, heads=p.num_heads,
+        intermediate=p.intermediate_size,
+        la_layers=(d.la_layers if d.la_layers > 0 else p.num_l_layers),
+        vl_layers=(d.vl_layers if d.vl_layers > 0 else p.num_x_layers),
+        max_pos=p.max_position_embeddings, eps=p.lang_layer_norm_eps,
+        rgb_dim=p.image_feat_size, depth_dim=p.depth_feat_size,
+        angle_dim=p.angle_feat_size, max_cands=K + 1,
+        hidden_dropout=p.hidden_dropout, attn_dropout=p.attn_dropout,
+        pad_token_id=p.pad_token_id)
+    return RecVLNBertDagger(envs, rcfg, dcfg, candidate_fn, d.store_dir,
+                            seed=cfg.seed)
+
+
 @register_trainer("Pretrain")
 def _build_pretrain(cfg, args):
     from etpnav_tpu.data.pretrain_data import PretrainShapes
@@ -147,9 +244,13 @@ def run(args=None):
     logging.basicConfig(level=logging.INFO)
 
     trainer = TRAINER_REGISTRY[args.trainer](cfg, args)
+    if hasattr(trainer, "collect") and args.run_type != "train":
+        raise ValueError("the DAgger trainer only supports --run-type "
+                         "train; evaluate legacy policies offline from "
+                         "the trajectory store")
     ckpt = args.ckpt or (cfg.inference.ckpt_path
                          if args.run_type == "inference" else None)
-    if ckpt:
+    if ckpt and hasattr(trainer, "load_checkpoint"):
         trainer.load_checkpoint(ckpt)
     elif cfg.pretrained_path and hasattr(trainer, "_refresh_agent"):
         # MODEL.pretrained_path: convert + load a torch pretrain ckpt into
@@ -181,6 +282,8 @@ def run(args=None):
             logs = trainer.train_steps(
                 cfg.pretrain.num_train_steps - trainer.step,
                 ckpt_dir=cfg.checkpoint_folder)
+        elif hasattr(trainer, "collect"):     # legacy DAgger path
+            logs = trainer.train()
         else:
             # IL.is_requeue gates auto-resume (ss_trainer_ETP.py:216-236)
             if (cfg.il.is_requeue and not args.ckpt

@@ -118,3 +118,135 @@ def cma_step(params: dict, cfg: CMAConfig, instr_feats: jax.Array,
 
 def initial_state(cfg: CMAConfig, batch: int) -> jax.Array:
     return jnp.zeros((batch, cfg.hidden_dim))
+
+
+# ---------------------------------------------------------------------------
+# Habitat-lineage instruction encoder (encoders/instruction_encoder.py:9-101)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class InstructionEncoderConfig:
+    """Mirrors the reference InstructionEncoder config surface
+    (instruction_encoder.py:14-20): GRU/LSTM over GloVe-style embeddings
+    (R2R) or precomputed per-token features (RxR)."""
+
+    vocab_size: int = 2504       # R2R vocab in the VLN-CE lineage
+    embedding_size: int = 50     # GloVe-50
+    hidden_size: int = 128
+    rnn_type: str = "LSTM"       # 'GRU' | 'LSTM'
+    bidirectional: bool = True
+    final_state_only: bool = False
+    sensor_uuid: str = "instruction"   # or 'rxr_instruction'
+
+    @property
+    def output_size(self) -> int:
+        """instruction_encoder.py:49-51."""
+        return self.hidden_size * (1 + int(self.bidirectional))
+
+
+def load_pretrained_embeddings(path: str) -> jax.Array:
+    """gzip-JSON embedding table (instruction_encoder.py:53-63): row 0 is
+    PAD (zeros), row 1 UNK (mean of all rows)."""
+    import gzip
+    import json
+    with gzip.open(path, "rt") as f:
+        return jnp.asarray(json.load(f), jnp.float32)
+
+
+def _lstm_init(key: jax.Array, in_dim: int, hid: int) -> dict:
+    k1, k2 = jax.random.split(key)
+    # torch LSTM gate order (i, f, g, o) for convertibility
+    return {"wi": linear_init(k1, in_dim, 4 * hid),
+            "wh": linear_init(k2, hid, 4 * hid)}
+
+
+def _lstm_cell(params: dict, x: jax.Array, h: jax.Array, c: jax.Array):
+    hid = h.shape[-1]
+    g = linear(params["wi"], x) + linear(params["wh"], h)
+    i = jax.nn.sigmoid(g[..., :hid])
+    f = jax.nn.sigmoid(g[..., hid:2 * hid])
+    gg = jnp.tanh(g[..., 2 * hid:3 * hid])
+    o = jax.nn.sigmoid(g[..., 3 * hid:])
+    c = f * c + i * gg
+    return o * jnp.tanh(c), c
+
+
+def init_instruction_encoder(key: jax.Array, cfg: InstructionEncoderConfig,
+                             embedding_weights: jax.Array | None = None
+                             ) -> dict:
+    """embedding_weights: optional pretrained (frozen GloVe) table
+    (instruction_encoder.py:35-40); ignored for the RxR feature sensor."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    rnn_init = _lstm_init if cfg.rnn_type == "LSTM" else _gru_init
+    params = {"fwd": rnn_init(k2, cfg.embedding_size, cfg.hidden_size)}
+    if cfg.bidirectional:
+        params["bwd"] = rnn_init(k3, cfg.embedding_size, cfg.hidden_size)
+    if cfg.sensor_uuid == "instruction":
+        params["embedding"] = (
+            embedding_weights if embedding_weights is not None
+            else trunc_normal(k1, (cfg.vocab_size, cfg.embedding_size)))
+    return params
+
+
+def _run_rnn(params: dict, cfg: InstructionEncoderConfig, x: jax.Array,
+             lengths: jax.Array, reverse: bool):
+    """Masked scan replicating pack_padded_sequence semantics: the state
+    only advances on valid steps, outputs are zero past each sequence's
+    length, and the returned final state is the state at the last valid
+    step (instruction_encoder.py:84-91)."""
+    B, L, _ = x.shape
+    hid = cfg.hidden_size
+    is_lstm = cfg.rnn_type == "LSTM"
+
+    def step(carry, xs):
+        xt, valid = xs
+        if is_lstm:
+            h, c = carry
+            nh, nc = _lstm_cell(params, xt, h, c)
+            h = jnp.where(valid[:, None], nh, h)
+            c = jnp.where(valid[:, None], nc, c)
+            out = jnp.where(valid[:, None], nh, 0.0)
+            return (h, c), out
+        h = carry
+        nh = _gru_cell(params, xt, h)
+        h = jnp.where(valid[:, None], nh, h)
+        return h, jnp.where(valid[:, None], nh, 0.0)
+
+    valid = jnp.arange(L)[None] < lengths[:, None]     # (B, L)
+    xs = (x.transpose(1, 0, 2), valid.T)
+    carry0 = ((jnp.zeros((B, hid), x.dtype),) * 2 if is_lstm
+              else jnp.zeros((B, hid), x.dtype))
+    carry, outs = jax.lax.scan(step, carry0, xs, reverse=reverse)
+    final = carry[0] if is_lstm else carry
+    return outs.transpose(1, 0, 2), final
+
+
+def encode_instruction_rnn(params: dict, cfg: InstructionEncoderConfig,
+                           observations: dict):
+    """observations['instruction'] (B, L) int tokens, or
+    observations['rxr_instruction'] (B, L, embedding_size) features.
+
+    Returns final state (B, output_size) when final_state_only, else
+    (ctx (B, L, output_size), pad_mask (B, L) True at padding) —
+    matching the reference's (ctx, all_lang_masks) contract
+    (instruction_encoder.py:93-101).
+    """
+    if cfg.sensor_uuid == "instruction":
+        tokens = observations["instruction"].astype(jnp.int32)
+        lengths = (tokens != 0).sum(-1)
+        x = params["embedding"][tokens]
+    else:
+        x = observations["rxr_instruction"]
+        lengths = ((x != 0.0).sum(-1) != 0).sum(-1)
+    out_f, fin_f = _run_rnn(params["fwd"], cfg, x, lengths, reverse=False)
+    if cfg.bidirectional:
+        out_b, fin_b = _run_rnn(params["bwd"], cfg, x, lengths,
+                                reverse=True)
+        ctx = jnp.concatenate([out_f, out_b], -1)
+        final = jnp.concatenate([fin_f, fin_b], -1)
+    else:
+        ctx, final = out_f, fin_f
+    if cfg.final_state_only:
+        return final
+    pad_mask = jnp.arange(ctx.shape[1])[None] >= lengths[:, None]
+    return ctx, pad_mask

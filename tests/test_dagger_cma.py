@@ -91,3 +91,91 @@ def test_recollection_sampler():
     traj = next(it)
     assert traj["rgb"].shape[0] == traj["teacher"].shape[0]
     assert traj["teacher"][-1] == 0 or traj["rgb"].shape[0] == 30
+
+
+# ---------------------------------------------------------------------------
+# instruction encoder (encoders/instruction_encoder.py:9-101)
+# ---------------------------------------------------------------------------
+
+import gzip
+import json
+
+import jax.numpy as jnp
+
+from etpnav_tpu.models.cma import (
+    InstructionEncoderConfig,
+    encode_instruction_rnn,
+    init_instruction_encoder,
+    load_pretrained_embeddings,
+)
+
+
+def _enc_cfg(**kw):
+    base = dict(vocab_size=40, embedding_size=8, hidden_size=12,
+                rnn_type="LSTM", bidirectional=True,
+                final_state_only=False)
+    base.update(kw)
+    return InstructionEncoderConfig(**base)
+
+
+@pytest.mark.parametrize("rnn_type,bidir", [("LSTM", True),
+                                            ("LSTM", False),
+                                            ("GRU", True),
+                                            ("GRU", False)])
+def test_instruction_encoder_shapes(rng, rnn_type, bidir):
+    cfg = _enc_cfg(rnn_type=rnn_type, bidirectional=bidir)
+    params = init_instruction_encoder(jax.random.PRNGKey(0), cfg)
+    toks = rng.integers(1, cfg.vocab_size, (3, 9))
+    toks[0, 5:] = 0
+    ctx, pad = encode_instruction_rnn(params, cfg,
+                                      {"instruction": jnp.asarray(toks)})
+    assert ctx.shape == (3, 9, cfg.output_size)
+    assert pad.shape == (3, 9)
+    # outputs zero past each length; pad mask marks exactly the padding
+    assert np.allclose(np.asarray(ctx[0, 5:]), 0)
+    np.testing.assert_array_equal(np.asarray(pad), toks == 0)
+
+
+def test_instruction_encoder_packed_semantics(rng):
+    """The padded tail must not affect outputs or final state — the
+    pack_padded_sequence contract (instruction_encoder.py:84-86)."""
+    cfg = _enc_cfg(final_state_only=True)
+    params = init_instruction_encoder(jax.random.PRNGKey(0), cfg)
+    toks = rng.integers(1, cfg.vocab_size, (2, 8))
+    toks[:, 6:] = 0
+    toks2 = toks.copy()
+    final1 = encode_instruction_rnn(params, cfg,
+                                    {"instruction": jnp.asarray(toks)})
+    assert final1.shape == (2, cfg.output_size)
+    # same content, shorter buffer -> same final state
+    final2 = encode_instruction_rnn(
+        params, cfg, {"instruction": jnp.asarray(toks2[:, :6])})
+    np.testing.assert_allclose(np.asarray(final1), np.asarray(final2),
+                               atol=1e-6)
+
+
+def test_instruction_encoder_rxr_features(rng):
+    cfg = _enc_cfg(sensor_uuid="rxr_instruction")
+    params = init_instruction_encoder(jax.random.PRNGKey(0), cfg)
+    assert "embedding" not in params      # feature path has no table
+    feats = rng.standard_normal((2, 7, cfg.embedding_size)).astype(
+        np.float32)
+    feats[:, 5:] = 0.0                    # padded tail
+    ctx, pad = encode_instruction_rnn(
+        params, cfg, {"rxr_instruction": jnp.asarray(feats)})
+    assert ctx.shape == (2, 7, cfg.output_size)
+    assert np.asarray(pad)[:, 5:].all() and not np.asarray(pad)[:, :5].any()
+
+
+def test_pretrained_embedding_loading(tmp_path, rng):
+    table = rng.standard_normal((40, 8)).astype(np.float32)
+    path = tmp_path / "embeddings.json.gz"
+    with gzip.open(path, "wt") as f:
+        json.dump(table.tolist(), f)
+    loaded = load_pretrained_embeddings(str(path))
+    np.testing.assert_allclose(np.asarray(loaded), table, atol=1e-6)
+    cfg = _enc_cfg()
+    params = init_instruction_encoder(jax.random.PRNGKey(0), cfg,
+                                      embedding_weights=loaded)
+    np.testing.assert_allclose(np.asarray(params["embedding"]), table,
+                               atol=1e-6)

@@ -36,6 +36,11 @@ def _worker_loop(conn, env_factory):
             if cmd == "close":
                 conn.send(("ok", None))
                 break
+            if cmd == "die":
+                # fault-injection hook: hard-exit like a segfaulting
+                # simulator (no reply, no cleanup)
+                import os
+                os._exit(1)
             try:
                 if cmd == "call":
                     name, args, kwargs = payload
@@ -55,51 +60,126 @@ class ProcessVectorEnv:
     """Pool of single-env workers behind the batched VectorNavEnv API."""
 
     def __init__(self, env_factories: Sequence[Callable], *,
-                 threaded: bool = False, context: str = "fork"):
+                 threaded: bool = False, context: str = "fork",
+                 restart_on_crash: bool = False, max_restarts: int = 3):
         """context: 'fork' is fastest but hazardous once JAX (which is
         multithreaded) has initialized in the parent — fork can deadlock
         the child. Use 'forkserver' (or 'spawn') when workers start after
         device code has run; factories then travel via cloudpickle, so
-        closures are fine but each worker re-imports its modules."""
+        closures are fine but each worker re-imports its modules.
+
+        restart_on_crash: elastic recovery (beyond the reference — a
+        habitat VectorEnv worker death kills the whole run). A worker
+        that dies mid-call is respawned from its factory; step/reset
+        calls to it return a StepResult with done=True and
+        info={'crashed': True} so the trainer can finish-and-drop that
+        episode, while the pool keeps serving. Each slot respawns at
+        most `max_restarts` times; oracle calls on a dead worker raise
+        after the respawn (they have no meaningful substitute value)."""
         self._n = len(env_factories)
         self._threaded = threaded
         self._live = list(range(self._n))
+        self._factories = list(env_factories)
+        self._context = context
+        self._restart_on_crash = restart_on_crash
+        self._max_restarts = max_restarts
+        self._restarts = [0] * self._n
         if threaded:
             # ThreadedVectorEnv-style debug fallback: in-process envs
             self._envs = [f() for f in env_factories]
         else:
-            ctx = mp.get_context(context)
-            self._conns = []
-            self._procs = []
-            for f in env_factories:
-                parent, child = ctx.Pipe()
-                if context == "fork":
-                    p = ctx.Process(target=_worker_loop, args=(child, f),
-                                    daemon=True)
-                else:
-                    import cloudpickle
-                    p = ctx.Process(target=_worker_entry_pickled,
-                                    args=(child, cloudpickle.dumps(f)),
-                                    daemon=True)
-                p.start()
-                child.close()
-                self._conns.append(parent)
-                self._procs.append(p)
+            self._conns = [None] * self._n
+            self._procs = [None] * self._n
+            for i in range(self._n):
+                self._spawn(i)
+
+    def _spawn(self, i: int):
+        ctx = mp.get_context(self._context)
+        parent, child = ctx.Pipe()
+        f = self._factories[i]
+        if self._context == "fork":
+            p = ctx.Process(target=_worker_loop, args=(child, f),
+                            daemon=True)
+        else:
+            import cloudpickle
+            p = ctx.Process(target=_worker_entry_pickled,
+                            args=(child, cloudpickle.dumps(f)),
+                            daemon=True)
+        p.start()
+        child.close()
+        self._conns[i] = parent
+        self._procs[i] = p
+
+    # ---- failure detection / elastic recovery ----
+
+    def _restart_worker(self, i: int):
+        self._restarts[i] += 1
+        if self._restarts[i] > self._max_restarts:
+            raise RuntimeError(
+                f"worker {i} exceeded {self._max_restarts} restarts")
+        try:
+            self._conns[i].close()
+        except OSError:
+            pass
+        self._procs[i].terminate()
+        self._procs[i].join(timeout=5)
+        self._spawn(i)
+
+    def _crash_step_result(self, i: int) -> List[StepResult]:
+        """Respawn worker i and synthesize an episode-ending result: the
+        fresh worker is reset so the slot is immediately usable. Shaped
+        like the worker's own step payload (a 1-element list)."""
+        self._restart_worker(i)
+        obs = self._call_workers([i], "reset")[0][0]
+        return [StepResult(obs, True, {"crashed": True})]
+
+    def _crash_reset_result(self, i: int):
+        self._restart_worker(i)
+        return self._call_workers([i], "reset")[0]
+
+    def inject_worker_crash(self, env_idx: int):
+        """Fault injection: hard-kill the worker behind live slot
+        env_idx (like a simulator segfault). The next step/reset on it
+        triggers detection + recovery."""
+        if self._threaded:
+            raise RuntimeError("no workers to crash in threaded mode")
+        self._conns[self._live[env_idx]].send(("die", None))
 
     # ---- fan-out plumbing ----
 
     def _call_workers(self, idxs: List[int], name: str, args_list=None,
-                      kwargs_list=None) -> List[Any]:
+                      kwargs_list=None, crash_result=None) -> List[Any]:
+        """crash_result: optional (i) -> substitute value enabling
+        elastic recovery for this call; None means a dead worker raises
+        (after a respawn keeps the pool alive, if recovery is on)."""
         args_list = args_list or [()] * len(idxs)
         kwargs_list = kwargs_list or [{}] * len(idxs)
         if self._threaded:
             return [getattr(self._envs[i], name)(*a, **k)
                     for i, a, k in zip(idxs, args_list, kwargs_list)]
+        dead = set()
         for i, a, k in zip(idxs, args_list, kwargs_list):
-            self._conns[i].send(("call", (name, a, k)))
+            try:
+                self._conns[i].send(("call", (name, a, k)))
+            except (BrokenPipeError, OSError):
+                dead.add(i)
         out = []
         for i in idxs:
-            status, res = self._conns[i].recv()
+            if i not in dead:
+                try:
+                    status, res = self._conns[i].recv()
+                except (EOFError, OSError):
+                    dead.add(i)
+            if i in dead:
+                if not self._restart_on_crash:
+                    raise RuntimeError(f"worker {i} died during {name!r}")
+                if crash_result is None:
+                    self._restart_worker(i)
+                    raise RuntimeError(
+                        f"worker {i} died during {name!r} (respawned; "
+                        "no substitute value for this call)")
+                out.append(crash_result(i))
+                continue
             if status == "err":
                 raise RuntimeError(f"worker {i}: {res}")
             out.append(res)
@@ -118,17 +198,20 @@ class ProcessVectorEnv:
         self._live = list(range(self._n))
 
     def reset(self):
-        obs = self._call_workers(self._live, "reset")
+        obs = self._call_workers(self._live, "reset",
+                                 crash_result=self._crash_reset_result)
         return [o[0] for o in obs]
 
     def step(self, actions) -> List[StepResult]:
         res = self._call_workers(self._live, "step",
-                                 [( [a], ) for a in actions])
+                                 [( [a], ) for a in actions],
+                                 crash_result=self._crash_step_result)
         return [r[0] for r in res]
 
     def step_low_level(self, actions) -> List[StepResult]:
         res = self._call_workers(self._live, "step_low_level",
-                                 [( [a], ) for a in actions])
+                                 [( [a], ) for a in actions],
+                                 crash_result=self._crash_step_result)
         return [r[0] for r in res]
 
     def current_episodes(self):
@@ -168,8 +251,12 @@ class ProcessVectorEnv:
             self._pending = [self._envs[i].step([a])[0]
                              for i, a in zip(self._live, actions)]
             return
+        self._async_dead = set()
         for i, a in zip(self._live, actions):
-            self._conns[i].send(("call", ("step", ([a],), {})))
+            try:
+                self._conns[i].send(("call", ("step", ([a],), {})))
+            except (BrokenPipeError, OSError):
+                self._async_dead.add(i)
 
     def step_wait(self) -> List[StepResult]:
         if self._threaded:
@@ -178,7 +265,17 @@ class ProcessVectorEnv:
             return out
         out = []
         for i in self._live:
-            status, res = self._conns[i].recv()
+            dead = i in getattr(self, "_async_dead", ())
+            if not dead:
+                try:
+                    status, res = self._conns[i].recv()
+                except (EOFError, OSError):
+                    dead = True
+            if dead:
+                if not self._restart_on_crash:
+                    raise RuntimeError(f"worker {i} died during 'step'")
+                out.append(self._crash_step_result(i)[0])
+                continue
             if status == "err":
                 raise RuntimeError(f"worker {i}: {res}")
             out.append(res[0])

@@ -149,3 +149,94 @@ def test_mp3d_pretrain_source(tmp_path):
     params, opt, loss = pretrain_step(params, opt, cfg.planner, tx, "sap",
                                       batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
+
+
+# ---------------------------------------------------------------------------
+# failure detection / elastic recovery (beyond-reference: a habitat
+# VectorEnv worker death kills the whole run)
+# ---------------------------------------------------------------------------
+
+def _make_pool(n, restart=True, max_restarts=3):
+    from etpnav_tpu.env.vector import GeometricEnvFactory
+    return ProcessVectorEnv(
+        [GeometricEnvFactory(500 + i, dict(vocab_size=64, max_instr_len=8,
+                                           image_size=16, depth_size=16))
+         for i in range(n)],
+        restart_on_crash=restart, max_restarts=max_restarts)
+
+
+def test_worker_crash_recovery_step():
+    envs = _make_pool(3)
+    try:
+        envs.reset()
+        envs.inject_worker_crash(1)
+        res = envs.step_low_level([1, 1, 1])
+        assert len(res) == 3
+        # crashed slot ends its episode and flags it; the pool survives
+        assert res[1].done and res[1].info.get("crashed")
+        assert not res[0].info.get("crashed")
+        assert res[1].observation["rgb"].shape == (12, 16, 16, 3)
+        # the respawned worker serves subsequent traffic
+        envs.resume_all()
+        obs = envs.reset()
+        assert len(obs) == 3
+        d = envs.current_dist_to_goal()
+        assert d.shape == (3,)
+    finally:
+        envs.close()
+
+
+def test_worker_crash_recovery_async():
+    envs = _make_pool(2)
+    try:
+        envs.reset()
+        pos, _ = envs.get_pos_ori()
+        envs.inject_worker_crash(0)
+        # async step takes env-layer action dicts (act 0 = stop)
+        envs.step_async([{"act": 0, "stop_pos": pos[i], "back_path": None}
+                         for i in range(2)])
+        res = envs.step_wait()
+        assert res[0].done and res[0].info.get("crashed")
+        assert res[1].done and not res[1].info.get("crashed")
+    finally:
+        envs.close()
+
+
+def test_worker_crash_without_recovery_raises():
+    envs = _make_pool(2, restart=False)
+    try:
+        envs.reset()
+        envs.inject_worker_crash(0)
+        with pytest.raises(RuntimeError, match="died"):
+            envs.step_low_level([1, 1])
+    finally:
+        envs.close()
+
+
+def test_worker_restart_budget_exhausted():
+    envs = _make_pool(1, restart=True, max_restarts=1)
+    try:
+        envs.reset()
+        envs.inject_worker_crash(0)
+        res = envs.step_low_level([1])
+        assert res[0].info.get("crashed")
+        envs.inject_worker_crash(0)
+        with pytest.raises(RuntimeError, match="restarts"):
+            envs.step_low_level([1])
+    finally:
+        envs.close()
+
+
+def test_oracle_call_on_dead_worker_raises_but_respawns():
+    envs = _make_pool(2)
+    try:
+        envs.reset()
+        envs.inject_worker_crash(0)
+        with pytest.raises(RuntimeError, match="respawned"):
+            envs.current_dist_to_goal()
+        # the pool is healthy again after the respawn
+        envs.resume_all()
+        envs.reset()
+        assert envs.current_dist_to_goal().shape == (2,)
+    finally:
+        envs.close()

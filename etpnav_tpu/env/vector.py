@@ -318,12 +318,14 @@ class GeometricEnvFactory:
 
 
 def construct_geometric_envs(num_envs: int, *, workers: bool = True,
-                             seed: int = 0, **env_kwargs):
+                             seed: int = 0, restart_on_crash: bool = False,
+                             **env_kwargs):
     """construct_envs equivalent for the geometric world: one worker per
     env slot with disjoint seeds (scene sharding analogue)."""
     if not workers:
         from etpnav_tpu.env.geometric import GeometricNavEnv
         return GeometricNavEnv(num_envs=num_envs, seed=seed, **env_kwargs)
-    return ProcessVectorEnv([
-        GeometricEnvFactory(seed * 1000 + i, env_kwargs)
-        for i in range(num_envs)])
+    return ProcessVectorEnv(
+        [GeometricEnvFactory(seed * 1000 + i, env_kwargs)
+         for i in range(num_envs)],
+        restart_on_crash=restart_on_crash)

@@ -359,6 +359,11 @@ class RolloutEngine:
                 for i in done_local:
                     ep = episodes[i]
                     info = results[i].info
+                    if info.get("crashed"):
+                        # elastic recovery ended this episode without a
+                        # measure record (env/vector.py) — drop it from
+                        # the stats rather than scoring a partial path
+                        continue
                     gt = np.asarray(
                         gt_paths[ep.episode_id] if gt_paths else
                         np.stack(ep.reference_path))
@@ -380,6 +385,8 @@ class RolloutEngine:
                 for i in done_local:
                     ep = episodes[i]
                     info = results[i].info
+                    if info.get("crashed"):
+                        continue
                     path = [{"position": info["position_infer"]["position"][0],
                              "heading": info["position_infer"]["heading"][0],
                              "stop": False}]

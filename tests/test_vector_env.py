@@ -240,3 +240,17 @@ def test_oracle_call_on_dead_worker_raises_but_respawns():
         assert envs.current_dist_to_goal().shape == (2,)
     finally:
         envs.close()
+
+
+def test_construct_envs_restart_passthrough():
+    envs = construct_geometric_envs(
+        2, workers=True, seed=5, restart_on_crash=True, vocab_size=64,
+        max_instr_len=8, image_size=16, depth_size=16)
+    try:
+        assert envs._restart_on_crash
+        envs.reset()
+        envs.inject_worker_crash(0)
+        res = envs.step_low_level([1, 1])
+        assert res[0].info.get("crashed")
+    finally:
+        envs.close()

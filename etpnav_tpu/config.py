@@ -226,6 +226,10 @@ class DaggerTaskConfig:
     p: float = 0.75              # beta = p ** iteration
     max_steps: int = 60
     store_dir: str = "data/trajectories_dirs/dagger"  # lmdb_features_dir
+    # released fine-tune checkpoint whose frozen CLIP/depth towers feed
+    # the feature/candidate fns (models/convert.convert_full_policy);
+    # '' = random init (pipeline-test mode, logged loudly)
+    encoder_ckpt: str = ""
     # recurrent VLN-BERT stack depths (vlnbert_PREVALENT.py la/vl
     # layers); -1 = reuse PLANNER.num_l_layers / num_x_layers
     la_layers: int = -1
@@ -284,6 +288,9 @@ class ExperimentConfig:
     pretrained_path: str = ""
     # top-level run layout (iter_train.yaml NUM_ENVIRONMENTS + *_DIR keys)
     num_environments: int = 8
+    # elastic recovery for --workers env pools: respawn crashed workers
+    # and drop their episodes (env/vector.py; beyond-reference)
+    restart_crashed_workers: bool = False
     tensorboard_dir: str = "logs/tensorboard"
     checkpoint_folder: str = "checkpoints"
     results_dir: str = "logs/eval_results"

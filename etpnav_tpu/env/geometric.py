@@ -467,6 +467,12 @@ class GeometricNavEnv:
         g = self._live[env_idx]
         return self._geodesic(pos, self._episodes[g].goal_position)
 
+    def point_dists_to_goal(self, env_idx: int, positions) -> np.ndarray:
+        """Batched variant: one oracle call for a whole candidate set."""
+        g = self._live[env_idx]
+        goal = self._episodes[g].goal_position
+        return np.array([self._geodesic(p, goal) for p in positions])
+
     def cand_real_pos(self, env_idx: int, angles, distances) -> np.ndarray:
         """Simulate each candidate: rotate to the (ccw) angle and forward
         k*0.25m with collisions, restoring state (environments.py:121-143)."""

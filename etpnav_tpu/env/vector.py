@@ -163,23 +163,34 @@ class ProcessVectorEnv:
                 self._conns[i].send(("call", (name, a, k)))
             except (BrokenPipeError, OSError):
                 dead.add(i)
+        # drain EVERY surviving worker's reply before any error handling:
+        # raising mid-loop would leave buffered replies that desync the
+        # pipe protocol for all subsequent calls on the pool
+        replies = {}
+        for i in idxs:
+            if i in dead:
+                continue
+            try:
+                replies[i] = self._conns[i].recv()
+            except (EOFError, OSError):
+                dead.add(i)
+        if dead:
+            if not self._restart_on_crash:
+                raise RuntimeError(
+                    f"workers {sorted(dead)} died during {name!r}")
+            if crash_result is None:
+                for i in sorted(dead):
+                    self._restart_worker(i)
+                raise RuntimeError(
+                    f"workers {sorted(dead)} died during {name!r} "
+                    "(respawned; no substitute value for this call — "
+                    "reset before reuse)")
         out = []
         for i in idxs:
-            if i not in dead:
-                try:
-                    status, res = self._conns[i].recv()
-                except (EOFError, OSError):
-                    dead.add(i)
             if i in dead:
-                if not self._restart_on_crash:
-                    raise RuntimeError(f"worker {i} died during {name!r}")
-                if crash_result is None:
-                    self._restart_worker(i)
-                    raise RuntimeError(
-                        f"worker {i} died during {name!r} (respawned; "
-                        "no substitute value for this call)")
                 out.append(crash_result(i))
                 continue
+            status, res = replies[i]
             if status == "err":
                 raise RuntimeError(f"worker {i}: {res}")
             out.append(res)
@@ -230,6 +241,11 @@ class ProcessVectorEnv:
     def point_dist_to_goal(self, env_idx: int, pos) -> float:
         return self._call_workers([self._live[env_idx]],
                                   "point_dist_to_goal", [(0, pos)])[0]
+
+    def point_dists_to_goal(self, env_idx: int, positions) -> np.ndarray:
+        return self._call_workers([self._live[env_idx]],
+                                  "point_dists_to_goal",
+                                  [(0, positions)])[0]
 
     def cand_real_pos(self, env_idx: int, angles, distances) -> np.ndarray:
         return self._call_workers([self._live[env_idx]], "cand_real_pos",

@@ -247,15 +247,15 @@ def nav_step(params: dict, cfg: RecVLNBertConfig, state: jax.Array,
     (logits (B, K) with masked slots at NEG_INF, new_state (B, H)).
     """
     r1, r2 = _split(rng)
-    B, L, H = lang_feats.shape
-    lang = jnp.concatenate([state[:, None], lang_feats[:, 1:]], axis=1)
+    B = lang_feats.shape[0]
 
     vis = fuse_candidates(params, cfg, cand_rgb, cand_depth, cand_dir,
                           rng=r1, train=train)
-    x = jnp.concatenate([lang[:, :1], vis], axis=1)    # [state; cands]
+    x = jnp.concatenate([state[:, None], vis], axis=1)  # [state; cands]
 
-    # language keys exclude the state slot (vlnbert_PREVALENT.py:330)
-    lang_kv = lang[:, 1:]
+    # language keys exclude the state slot (vlnbert_PREVALENT.py:330);
+    # the state token participates only via the [state; cands] stream
+    lang_kv = lang_feats[:, 1:]
     lang_bias = _mask_bias(lang_mask[:, 1:])
     sv_mask = jnp.concatenate(
         [jnp.ones((B, 1), bool), cand_mask], axis=1)

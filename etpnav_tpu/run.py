@@ -63,6 +63,7 @@ def _build_ss_etp(cfg, args):
             from etpnav_tpu.env.vector import construct_geometric_envs
             return construct_geometric_envs(
                 per_pool, workers=True, seed=split_seed + i,
+                restart_on_crash=cfg.restart_crashed_workers,
                 vocab_size=cfg.planner.vocab_size,
                 max_instr_len=cfg.il.max_text_len,
                 image_size=cfg.clip.image_size,
@@ -91,10 +92,12 @@ def _build_ss_etp(cfg, args):
 @register_trainer("DAgger")
 def _build_dagger(cfg, args):
     """Legacy DAgger path: frozen-encoder features + oracle teacher over
-    either policy family (dagger_trainer.py:187-629). The encoders are
-    the production frozen towers (init or converted released weights via
-    MODEL.pretrained_path machinery); candidates for the rec_vlnbert
-    policy come from the real waypoint-predictor NMS output."""
+    either policy family (dagger_trainer.py:187-629). The feature and
+    candidate functions run the real CLIP/depth towers and waypoint
+    predictor; set DAGGER.encoder_ckpt to a released fine-tune checkpoint
+    to load converted frozen-tower weights (otherwise they are randomly
+    initialized, which is only useful for pipeline tests — a warning is
+    logged)."""
     import functools
 
     import jax
@@ -123,6 +126,19 @@ def _build_dagger(cfg, args):
         epochs=d.epochs, batch_size=d.batch_size, lr=d.lr, p=d.p,
         max_steps=d.max_steps)
     params = agent_mod.init_agent_params(jax.random.PRNGKey(cfg.seed), cfg)
+    if d.encoder_ckpt:
+        import torch
+        from etpnav_tpu.models.convert import convert_full_policy
+        trees = convert_full_policy(
+            torch.load(d.encoder_ckpt, map_location="cpu"),
+            planner_cfg=cfg.planner, clip_cfg=cfg.clip,
+            depth_cfg=cfg.depth)
+        params = params._replace(
+            **{k: trees[k] for k in ("clip", "depth") if k in trees})
+        logger.info("DAgger frozen towers loaded from %s", d.encoder_ckpt)
+    else:
+        logger.warning("DAGGER.encoder_ckpt unset: frozen towers are "
+                       "randomly initialized (pipeline-test mode)")
 
     if d.policy == "cma":
         from etpnav_tpu.models.cma import CMAConfig
@@ -250,7 +266,11 @@ def run(args=None):
                          "the trajectory store")
     ckpt = args.ckpt or (cfg.inference.ckpt_path
                          if args.run_type == "inference" else None)
-    if ckpt and hasattr(trainer, "load_checkpoint"):
+    if ckpt:
+        if not hasattr(trainer, "load_checkpoint"):
+            raise ValueError(
+                f"trainer {args.trainer!r} cannot load checkpoints; "
+                "for DAgger use DAGGER.encoder_ckpt for the frozen towers")
         trainer.load_checkpoint(ckpt)
     elif cfg.pretrained_path and hasattr(trainer, "_refresh_agent"):
         # MODEL.pretrained_path: convert + load a torch pretrain ckpt into

@@ -295,13 +295,14 @@ class RecVLNBertDagger:
 
         @functools.partial(jax.jit, static_argnames=())
         def _update(params, opt_state, tokens, lmask, rgb, dep, ang,
-                    cmask, teacher, smask):
+                    cmask, teacher, smask, rng):
             loss, grads = jax.value_and_grad(rvb.sequence_nll)(
                 params, cfg, tokens, lmask, rgb, dep, ang, cmask,
-                teacher, smask, train=False)
+                teacher, smask, rng=rng, train=True)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
         self._jit_update = _update
+        self._update_key = jax.random.PRNGKey(seed + 1)
 
     def _assemble_slots(self, cand):
         """Prepend the STOP slot (zero features, always valid)."""
@@ -313,23 +314,36 @@ class RecVLNBertDagger:
             [np.ones((B, 1), bool), cand["mask"]], axis=1)
         return rgb, dep, ang, mask
 
-    def _teacher(self, cand) -> np.ndarray:
+    def _teacher(self, cand):
         """Oracle candidate index per live env: STOP inside the trigger
-        radius, else the motion candidate whose simulated endpoint is
-        geodesically closest to the goal (dagger_trainer.py:210-230)."""
+        radius, STOP when no motion candidate is valid, else the
+        candidate whose simulated endpoint is geodesically closest to
+        the goal (dagger_trainer.py:210-230). Returns (teach (n,),
+        all_pos: per-env (K, 3) simulated endpoints) so callers reuse
+        the simulation instead of re-querying. Candidate simulation is
+        ONE fan-out (cand_real_pos_batch) and goal distances one oracle
+        call per env (point_dists_to_goal) — not per candidate."""
         envs = self.envs
         n = envs.num_envs
         cur = envs.current_dist_to_goal()
+        if hasattr(envs, "cand_real_pos_batch"):
+            all_pos = envs.cand_real_pos_batch(
+                [cand["angles"][i] for i in range(n)],
+                [cand["dists"][i] for i in range(n)])
+        else:
+            all_pos = [envs.cand_real_pos(i, cand["angles"][i],
+                                          cand["dists"][i])
+                       for i in range(n)]
         teach = np.zeros(n, np.int64)
         for i in range(n):
             if cur[i] < self.STOP_TRIGGER_M:
                 continue                       # STOP slot 0
             valid = np.flatnonzero(cand["mask"][i])
-            pos = envs.cand_real_pos(i, cand["angles"][i][valid],
-                                     cand["dists"][i][valid])
-            dg = [envs.point_dist_to_goal(i, p) for p in pos]
+            if valid.size == 0:
+                continue                       # nowhere to go -> STOP
+            dg = envs.point_dists_to_goal(i, all_pos[i][valid])
             teach[i] = 1 + valid[int(np.argmin(dg))]
-        return teach
+        return teach, all_pos
 
     def collect(self, beta: float, episodes: int):
         envs, rvb = self.envs, self.rvb
@@ -351,7 +365,7 @@ class RecVLNBertDagger:
                 n = envs.num_envs
                 cand = self.candidate_fn(obs)
                 rgb, dep, ang, cmask = self._assemble_slots(cand)
-                teach = self._teacher(cand)
+                teach, cand_pos = self._teacher(cand)
                 idx = np.asarray(live)
                 logits, state = self._jit_nav(
                     self.params, state=state,
@@ -378,9 +392,7 @@ class RecVLNBertDagger:
                             {"act": 0, "stop_pos": pos[i],
                              "back_path": None})
                     else:
-                        tgt = envs.cand_real_pos(
-                            i, [cand["angles"][i][a - 1]],
-                            [cand["dists"][i][a - 1]])[0]
+                        tgt = cand_pos[i][a - 1]
                         env_actions.append(
                             {"act": 4, "front_pos": pos[i],
                              "ghost_pos": tgt, "back_path": None})
@@ -422,7 +434,8 @@ class RecVLNBertDagger:
                 batch = [trajs[i] for i in order[s:s + self.dcfg.batch_size]]
                 B = len(batch)
                 Lmax = max(len(b["tokens"]) for b in batch)
-                tokens = np.zeros((B, Lmax), np.int64)
+                tokens = np.full((B, Lmax), self.cfg.pad_token_id,
+                                 np.int64)
                 rgb = np.zeros((B, T, K, self.cfg.rgb_dim), np.float32)
                 dep = np.zeros((B, T, K, self.cfg.depth_dim), np.float32)
                 ang = np.zeros((B, T, K, self.cfg.angle_dim), np.float32)
@@ -441,12 +454,13 @@ class RecVLNBertDagger:
                 # padded steps need >=1 valid candidate slot for a finite
                 # log-softmax (their loss rows are masked out anyway)
                 cmask[:, :, 0] = True
+                self._update_key, key = jax.random.split(self._update_key)
                 self.params, self.opt_state, loss = self._jit_update(
                     self.params, self.opt_state, jnp.asarray(tokens),
                     jnp.asarray(tokens != self.cfg.pad_token_id),
                     jnp.asarray(rgb), jnp.asarray(dep), jnp.asarray(ang),
                     jnp.asarray(cmask), jnp.asarray(teach),
-                    jnp.asarray(smask))
+                    jnp.asarray(smask), key)
                 losses.append(float(loss))
         return float(np.mean(losses))
 

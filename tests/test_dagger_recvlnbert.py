@@ -52,7 +52,7 @@ def test_oracle_teacher_stops_at_goal(envs):
     envs.resume_all()
     obs = envs.reset()
     cand = _candidate_fn(obs)
-    teach = trainer._teacher(cand)
+    teach, cand_pos = trainer._teacher(cand)
     cur = envs.current_dist_to_goal()
     for i in range(envs.num_envs):
         if cur[i] < RecVLNBertDagger.STOP_TRIGGER_M:
@@ -63,8 +63,22 @@ def test_oracle_teacher_stops_at_goal(envs):
             valid = np.flatnonzero(cand["mask"][i])
             pos = envs.cand_real_pos(i, cand["angles"][i][valid],
                                      cand["dists"][i][valid])
+            np.testing.assert_allclose(pos, cand_pos[i][valid], atol=1e-9)
             dg = np.array([envs.point_dist_to_goal(i, p) for p in pos])
             assert dg[teach[i] - 1] == dg.min()
+
+
+def test_oracle_teacher_stops_without_candidates(envs):
+    """Zero valid motion candidates must fall back to STOP, not crash."""
+    trainer = RecVLNBertDagger(envs, CFG, DaggerConfig(max_steps=4),
+                               _candidate_fn, "/tmp/_unused_store_rvb2",
+                               seed=0)
+    envs.resume_all()
+    obs = envs.reset()
+    cand = _candidate_fn(obs)
+    cand["mask"][:] = False
+    teach, _ = trainer._teacher(cand)
+    assert (teach == 0).all()
 
 
 def test_collect_and_update(envs, tmp_path):

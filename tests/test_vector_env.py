@@ -234,10 +234,15 @@ def test_oracle_call_on_dead_worker_raises_but_respawns():
         envs.inject_worker_crash(0)
         with pytest.raises(RuntimeError, match="respawned"):
             envs.current_dist_to_goal()
-        # the pool is healthy again after the respawn
+        # the pool is healthy again after the respawn: replies are
+        # drained on error, so subsequent calls are aligned and typed
+        # (guards against the pipe-desync failure mode)
         envs.resume_all()
-        envs.reset()
-        assert envs.current_dist_to_goal().shape == (2,)
+        obs = envs.reset()
+        assert all(isinstance(o, dict) and "rgb" in o for o in obs)
+        d = envs.current_dist_to_goal()
+        assert d.shape == (2,) and d.dtype.kind == "f"
+        assert np.isfinite(d).all()
     finally:
         envs.close()
 

@@ -59,7 +59,8 @@ def make_habitat_envs(cfg, num_envs: int = 8, split: str = "train",
     return HabitatVectorEnv(
         task_cfg, num_envs=num_envs, split=split,
         episodes_allowed=episodes_allowed, scenes=scenes,
-        seed=cfg.seed if seed is None else seed)
+        seed=cfg.seed if seed is None else seed,
+        restart_on_crash=getattr(cfg, "restart_crashed_workers", False))
 
 
 def shard_scenes(scenes: List[str], num_workers: int) -> List[List[str]]:

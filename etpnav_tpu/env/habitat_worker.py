@@ -314,7 +314,7 @@ class HabitatVectorEnv:
     def __new__(cls, habitat_config, num_envs: int = 8,
                 split: str = "train", episodes_allowed=None,
                 scenes: Sequence[str] = None, seed: int = 0,
-                threaded: bool = False):
+                threaded: bool = False, restart_on_crash: bool = False):
         from etpnav_tpu.env.habitat_adapter import shard_scenes
         from etpnav_tpu.env.vector import ProcessVectorEnv
 
@@ -328,7 +328,8 @@ class HabitatVectorEnv:
                 return HabitatWorkerEnv(cfg_i, seed=seed + i,
                                         episodes_allowed=episodes_allowed)
             factories.append(make)
-        return ProcessVectorEnv(factories, threaded=threaded)
+        return ProcessVectorEnv(factories, threaded=threaded,
+                                restart_on_crash=restart_on_crash)
 
 
 def _config_for_worker(habitat_config, content_scenes, split: str,

@@ -133,3 +133,49 @@ def test_convert_cli_roundtrip(tmp_path):
     hm = waypoint.waypoint_heatmap(params, cfg, feats)
     assert hm.shape == (2, 120, 12)
     assert np.isfinite(np.asarray(hm)).all()
+
+
+def test_eval_survives_worker_crash_midrollout():
+    """A worker dying at step time mid-eval is recovered: the episode is
+    dropped from stats and evaluate() completes with metrics from the
+    surviving episodes (env/vector.py elastic recovery + rollout.py
+    crashed-episode guard)."""
+    from etpnav_tpu.config import tiny_config
+    from etpnav_tpu.env.vector import construct_geometric_envs
+    from etpnav_tpu.training.finetune import FinetuneTrainer
+
+    cfg = tiny_config()
+    envs = construct_geometric_envs(
+        2, workers=True, seed=3, restart_on_crash=True,
+        vocab_size=cfg.planner.vocab_size,
+        max_instr_len=cfg.il.max_text_len,
+        image_size=cfg.clip.image_size,
+        depth_size=cfg.depth.input_size,
+        pad_id=cfg.planner.pad_token_id)
+
+    class CrashOnFirstStep:
+        """Kills worker 0 right before the first env step (the point
+        where habitat-sim segfaults happen in practice)."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self._armed = True
+
+        def step(self, actions):
+            if self._armed:
+                self._armed = False
+                self._inner.inject_worker_crash(0)
+            return self._inner.step(actions)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    trainer = FinetuneTrainer(cfg, CrashOnFirstStep(envs), seed=0)
+    try:
+        stats = trainer.evaluate(episode_count=2)
+        # the crashed episode was dropped but the guard loop re-rolled:
+        # full metric set over >= 2 surviving episodes
+        for key in ("success", "spl", "ndtw"):
+            assert np.isfinite(stats[key])
+    finally:
+        envs.close()

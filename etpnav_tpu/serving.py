@@ -98,6 +98,10 @@ class NavServer:
         self._lock = threading.Lock()
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
+        # observability counters (stats()); guarded by _lock
+        self._steps_served = 0
+        self._batches = 0
+        self._occupancy_sum = 0
         self._thread = threading.Thread(target=self._batch_loop,
                                         daemon=True)
         self._thread.start()
@@ -203,6 +207,22 @@ class NavServer:
             with self._lock:
                 ses.in_flight = False
 
+    def stats(self) -> dict:
+        """Service counters: steps served, device dispatches, mean batch
+        occupancy (slots used / max_batch — the TPU-utilization proxy:
+        the device batch is always padded to max_batch), live sessions,
+        and current queue depth."""
+        with self._lock:
+            batches = self._batches
+            steps = self._steps_served
+            occ = (self._occupancy_sum / (batches * self.max_batch)
+                   if batches else 0.0)
+            live = sum(1 for s in self._sessions.values() if not s.done)
+        return {"steps_served": steps, "batches": batches,
+                "mean_occupancy": round(occ, 4),
+                "live_sessions": live,
+                "queue_depth": self._queue.qsize()}
+
     def close_session(self, sid: int) -> dict:
         with self._lock:
             ses = self._sessions.pop(sid)
@@ -250,6 +270,10 @@ class NavServer:
             batch = [p for p in batch if not p.cancelled]
             if not batch:
                 continue
+            with self._lock:
+                self._batches += 1
+                self._steps_served += len(batch)
+                self._occupancy_sum += len(batch)
             try:
                 self._process(batch)
             except Exception as e:

@@ -183,3 +183,30 @@ def test_step_after_stop_rejected(server_and_cfg):
     with pytest.raises(RuntimeError):
         server.step(sid, obs["rgb"], obs["depth"], pos[0], ori[0])
     server.close_session(sid)
+
+
+def test_server_stats():
+    cfg = tiny_config()
+    agent = JittedAgent(cfg, init_agent_params(jax.random.PRNGKey(0), cfg))
+    server = NavServer(cfg, agent, max_batch=2, max_wait_ms=5.0)
+    try:
+        s0 = server.stats()
+        assert s0["steps_served"] == 0 and s0["batches"] == 0
+        rng = np.random.default_rng(0)
+        sid = server.create_session(
+            rng.integers(1, cfg.planner.vocab_size, 8))
+        rgb = rng.integers(0, 256, (12, cfg.clip.image_size,
+                                    cfg.clip.image_size, 3)).astype(
+                                        np.uint8)
+        dep = rng.random((12, cfg.depth.input_size, cfg.depth.input_size,
+                          1)).astype(np.float32)
+        res = server.step(sid, rgb, dep, np.zeros(3),
+                          np.array([0.0, 0.0, 0.0, 1.0]))
+        st = server.stats()
+        assert st["steps_served"] == 1 and st["batches"] == 1
+        assert 0 < st["mean_occupancy"] <= 1.0
+        # the random policy may STOP on step 1; live reflects that
+        assert st["live_sessions"] == (0 if res["done"] else 1)
+        assert st["queue_depth"] == 0
+    finally:
+        server.shutdown()

@@ -121,7 +121,14 @@ def _trunk(params: dict, cfg: ClipConfig, x: jax.Array, dtype) -> jax.Array:
 
     first = jax.tree_util.tree_map(lambda a: a[:-1], params["blocks"])
     last = jax.tree_util.tree_map(lambda a: a[-1], params["blocks"])
-    x, _ = jax.lax.scan(block, x, first)
+    # full unroll on TPU: straight-line blocks let XLA overlap the next
+    # block's weight DMA with compute — measured 15.24 -> 14.56 ms
+    # (-4.5%) for the 12-layer tower at B=192 on v5e-1
+    # (tools/exp_scan_unroll.py: unroll 1/2/4/11 -> 15.24/15.32/15.29/
+    # 14.56 ms; partial unrolls don't pay). Kept rolled on CPU to keep
+    # test-suite compile times down.
+    unroll = jax.default_backend() == "tpu"
+    x, _ = jax.lax.scan(block, x, first, unroll=unroll)
 
     # last block, cls row only (identical math for that row)
     a = layer_norm(x, last["ln_1"]["scale"], last["ln_1"]["bias"],

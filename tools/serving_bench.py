@@ -12,6 +12,14 @@ attached host the same batched dispatch path has none of that overhead,
 so treat latency numbers as tunnel-bound upper bounds and throughput as
 the load-bearing metric (batching amortizes the round trip).
 
+MEASURED (v5e-1 via axon tunnel, 2026-08, 16 sessions x 20 steps):
+1.2 steps/s, p50 2.18 s, p95 2.72 s — entirely transfer-bound: each
+16-slot batch ships 16x12 uint8 224^2 views = 28.9 MB over the ~17 MB/s
+tunnel (~1.7 s), while the device compute for the same batch is ~18 ms
+(bench.py: 874 panos/s). On a directly attached host the same code path
+is compute-bound at the bench number; the tunnel figure is recorded here
+as the honest end-to-end measurement for THIS rig.
+
 Usage: PYTHONPATH=/root/.axon_site:/root/repo \
            python tools/serving_bench.py [--sessions 16] [--steps 20]
 """

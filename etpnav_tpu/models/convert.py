@@ -262,6 +262,50 @@ def convert_full_policy(state_dict: Mapping, planner_cfg=None,
     return out
 
 
+def convert_rec_vlnbert(state_dict: Mapping, base_params: dict,
+                        la_layers: int = 9, vl_layers: int = 4) -> dict:
+    """PREVALENT `pytorch_model.bin` (the VLNBert layout of
+    vlnbert_PREVALENT.py:362-381, loaded by the reference at
+    vlnbert_init.py:10-18) -> models/rec_vlnbert.py param tree.
+
+    Converts the transformer subtrees: embeddings, the la_layers
+    language stack (`lalayer.{i}.*`), each LXRT layer's VISUAL branch
+    (`addlayer.{i}.visual_attention/visn_self_att/visn_inter/
+    visn_output`), and the pooler. The candidate-fusion projections
+    have no reference counterpart (the fusing policy module is absent
+    from the reference repo) and are carried over from base_params.
+    The dead lang-branch params inside each LXRTXLayer
+    (lang_self_att/lang_inter/lang_output — initialized but never
+    called, vlnbert_PREVALENT.py:296-298 vs :322-342) are ignored.
+    """
+    sd = strip_prefixes(state_dict)
+    out = dict(base_params)
+    out["embeddings"] = {
+        "word_embeddings": jnp.asarray(
+            sd["embeddings.word_embeddings.weight"]),
+        "position_embeddings": jnp.asarray(
+            sd["embeddings.position_embeddings.weight"]),
+        "token_type_embeddings": jnp.asarray(
+            sd["embeddings.token_type_embeddings.weight"]),
+        "ln": _ln(sd, "embeddings.LayerNorm"),
+    }
+    out["lalayer"] = _stack([_bert_layer(sd, f"lalayer.{i}")
+                             for i in range(la_layers)])
+    xl = []
+    for i in range(vl_layers):
+        b = f"addlayer.{i}"
+        xl.append({
+            "cross": _attn_block(sd, f"{b}.visual_attention.att",
+                                 f"{b}.visual_attention.output"),
+            "self": _attn_block(sd, f"{b}.visn_self_att.self",
+                                f"{b}.visn_self_att.output"),
+            "ffn": _ffn(sd, f"{b}.visn_inter", f"{b}.visn_output"),
+        })
+    out["addlayer"] = _stack(xl)
+    out["pooler"] = _linear(sd, "pooler.dense")
+    return out
+
+
 def convert_hf_bert_encoder(state_dict: Mapping, num_layers: int) -> dict:
     """HF transformers BertModel state_dict -> our embeddings + stacked
     layers; used for golden parity tests and tokenizer-compatible init."""

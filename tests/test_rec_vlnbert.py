@@ -164,3 +164,79 @@ def test_dropout_rng_path(params, rng):
     s_tr2, _ = rvb.encode_language(params, cfg, tokens, mask,
                                    rng=jax.random.PRNGKey(2), train=True)
     assert not np.allclose(np.asarray(s_tr1), np.asarray(s_tr2))
+
+
+def test_prevalent_checkpoint_conversion(rng):
+    """A synthetic PREVALENT-layout state_dict converts into the param
+    tree and drives the model; embedding rows and pooler weights land
+    exactly where the reference reads them."""
+    from etpnav_tpu.models.convert import convert_rec_vlnbert
+
+    H, I = CFG.hidden, CFG.intermediate
+    V = CFG.vocab_size
+    sd = {}
+
+    def lin(key, din, dout):
+        sd[f"{key}.weight"] = rng.standard_normal(
+            (dout, din)).astype(np.float32) * 0.02
+        sd[f"{key}.bias"] = np.zeros(dout, np.float32)
+
+    def ln(key, d):
+        sd[f"{key}.weight"] = np.ones(d, np.float32)
+        sd[f"{key}.bias"] = np.zeros(d, np.float32)
+
+    sd["embeddings.word_embeddings.weight"] = rng.standard_normal(
+        (V, H)).astype(np.float32)
+    sd["embeddings.position_embeddings.weight"] = rng.standard_normal(
+        (CFG.max_pos, H)).astype(np.float32)
+    sd["embeddings.token_type_embeddings.weight"] = rng.standard_normal(
+        (CFG.type_vocab, H)).astype(np.float32)
+    ln("embeddings.LayerNorm", H)
+    for i in range(CFG.la_layers):
+        b = f"lalayer.{i}"
+        for p in ("query", "key", "value"):
+            lin(f"{b}.attention.self.{p}", H, H)
+        lin(f"{b}.attention.output.dense", H, H)
+        ln(f"{b}.attention.output.LayerNorm", H)
+        lin(f"{b}.intermediate.dense", H, I)
+        lin(f"{b}.output.dense", I, H)
+        ln(f"{b}.output.LayerNorm", H)
+    for i in range(CFG.vl_layers):
+        b = f"addlayer.{i}"
+        for p in ("query", "key", "value"):
+            lin(f"{b}.visual_attention.att.{p}", H, H)
+            lin(f"{b}.visn_self_att.self.{p}", H, H)
+        lin(f"{b}.visual_attention.output.dense", H, H)
+        ln(f"{b}.visual_attention.output.LayerNorm", H)
+        lin(f"{b}.visn_self_att.output.dense", H, H)
+        ln(f"{b}.visn_self_att.output.LayerNorm", H)
+        lin(f"{b}.visn_inter.dense", H, I)
+        lin(f"{b}.visn_output.dense", I, H)
+        ln(f"{b}.visn_output.LayerNorm", H)
+        # dead lang branch: present in the ckpt, ignored by conversion
+        lin(f"{b}.lang_self_att.self.query", H, H)
+    lin("pooler.dense", H, H)
+
+    base = rvb.init_params(jax.random.PRNGKey(1), CFG)
+    params = convert_rec_vlnbert(sd, base, CFG.la_layers, CFG.vl_layers)
+
+    np.testing.assert_allclose(
+        np.asarray(params["embeddings"]["word_embeddings"]),
+        sd["embeddings.word_embeddings.weight"], atol=0)
+    np.testing.assert_allclose(
+        np.asarray(params["pooler"]["w"]),
+        sd["pooler.dense.weight"].T, atol=0)
+    assert params["lalayer"]["attention"]["attn"]["q"]["w"].shape == \
+        (CFG.la_layers, H, H)
+    # fusion projections carried over from base init
+    np.testing.assert_array_equal(np.asarray(params["rgb_proj"]["w"]),
+                                  np.asarray(base["rgb_proj"]["w"]))
+
+    # the converted tree drives the full decision path
+    toks, mask = _tokens(np.random.default_rng(2))
+    state, feats = rvb.encode_language(params, CFG, toks, mask)
+    rgb, dep, ang = _cands(np.random.default_rng(3))
+    logits, state2 = rvb.nav_step(params, CFG, state, feats, mask,
+                                  rgb, dep, ang, jnp.ones((B, K), bool))
+    assert np.isfinite(np.asarray(logits)).all()
+    assert np.isfinite(np.asarray(state2)).all()

@@ -473,6 +473,83 @@ class RecVLNBertDagger:
             losses.append(self.update())
         return losses
 
+    def evaluate(self, episodes: int,
+                 success_distance: float = 3.0) -> dict:
+        """Greedy-policy eval with SR/SPL/nDTW over env-side measures —
+        the legacy path's eval mode (base_il_trainer.py:774-889 drives
+        the same rollout with metric collection)."""
+        from etpnav_tpu.metrics import aggregate, episode_metrics
+        envs, rvb = self.envs, self.rvb
+        stats: dict = {}
+        guard = 0
+        while len(stats) < episodes and guard < 10 * episodes:
+            guard += 1
+            envs.resume_all()
+            obs = envs.reset()
+            B = envs.num_envs
+            eps = envs.current_episodes()
+            tokens = np.stack([o["instruction"] for o in obs])
+            lmask = tokens != self.cfg.pad_token_id
+            state, feats = self._jit_lang(
+                self.params, tokens=jnp.asarray(tokens),
+                mask=jnp.asarray(lmask))
+            live = list(range(B))
+            for _ in range(self.dcfg.max_steps):
+                n = envs.num_envs
+                cand = self.candidate_fn(obs)
+                rgb, dep, ang, cmask = self._assemble_slots(cand)
+                if hasattr(envs, "cand_real_pos_batch"):
+                    cand_pos = envs.cand_real_pos_batch(
+                        [cand["angles"][i] for i in range(n)],
+                        [cand["dists"][i] for i in range(n)])
+                else:
+                    cand_pos = [envs.cand_real_pos(
+                        i, cand["angles"][i], cand["dists"][i])
+                        for i in range(n)]
+                idx = np.asarray(live)
+                logits, state = self._jit_nav(
+                    self.params, state=state,
+                    lang_feats=feats[idx],
+                    lang_mask=jnp.asarray(lmask)[idx],
+                    cand_rgb=jnp.asarray(rgb, jnp.float32),
+                    cand_depth=jnp.asarray(dep, jnp.float32),
+                    cand_dir=jnp.asarray(ang, jnp.float32),
+                    cand_mask=jnp.asarray(cmask))
+                acts = np.asarray(jnp.argmax(logits, -1))
+                pos, _ = envs.get_pos_ori()
+                env_actions = []
+                for i, a in enumerate(acts):
+                    if a == 0:
+                        env_actions.append({"act": 0, "stop_pos": pos[i],
+                                            "back_path": None})
+                    else:
+                        env_actions.append(
+                            {"act": 4, "front_pos": pos[i],
+                             "ghost_pos": cand_pos[i][a - 1],
+                             "back_path": None})
+                results = envs.step(env_actions)
+                done_local = [i for i, r in enumerate(results) if r.done]
+                for i in done_local:
+                    info = results[i].info
+                    if info.get("crashed"):
+                        continue
+                    ep = eps[live[i]]
+                    stats[ep.episode_id] = episode_metrics(
+                        info["position"]["position"],
+                        info["position"]["distance"],
+                        np.stack(ep.reference_path),
+                        info["steps_taken"],
+                        info["collisions"]["count"], success_distance)
+                for i in reversed(done_local):
+                    envs.pause_at(i)
+                    live.pop(i)
+                    results.pop(i)
+                    state = jnp.delete(state, i, axis=0)
+                if envs.num_envs == 0:
+                    break
+                obs = [r.observation for r in results]
+        return aggregate(stats)
+
 
 class TeacherRecollectionSampler:
     """Simulator-replay alternative to the disk store

@@ -112,3 +112,31 @@ def test_update_learns_teacher(envs, tmp_path):
     last = trainer.update(epochs=3)
     assert np.isfinite([first, last]).all()
     assert last < first
+
+
+def test_evaluate_greedy_policy(envs, tmp_path):
+    """The legacy-path eval loop: greedy policy rollout, env-side
+    measures, SR/SPL/nDTW aggregation (base_il_trainer.py:774-889)."""
+    import jax.numpy as jnp
+
+    trainer = RecVLNBertDagger(envs, CFG,
+                               DaggerConfig(max_steps=4, episodes_per_iter=2),
+                               _candidate_fn, str(tmp_path / "store"),
+                               seed=0)
+    # force STOP from the second decision on, so episodes complete
+    real = trainer._jit_nav
+    calls = {"n": 0}
+
+    def scripted(params, **kw):
+        logits, state = real(params, **kw)
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            logits = jnp.full_like(logits, -1e9).at[:, 0].set(0.0)
+        return logits, state
+
+    trainer._jit_nav = scripted
+    stats = trainer.evaluate(episodes=2)
+    assert stats, "no episodes completed"
+    for key in ("success", "spl", "ndtw", "distance_to_goal",
+                "steps_taken"):
+        assert key in stats and np.isfinite(stats[key]), key

@@ -31,20 +31,6 @@ from etpnav_tpu.ops.attention import (
     self_attention_block_init,
 )
 
-# Inference-path stack unroll. Full unroll lets XLA overlap the next
-# layer's weight DMA with compute — measured +4.4% end-to-end for the
-# CLIP tower (tools/exp_scan_unroll.py; partial unrolls don't pay).
-# Auto: unroll on TPU for the no-rng (inference) scan branches only —
-# training keeps rolled scans (backward through an unrolled stack blows
-# up compile time), CPU keeps them for test-suite compile time.
-SCAN_UNROLL_INFERENCE = None     # None = auto (TPU on) | True | False
-
-
-def stack_unroll() -> bool:
-    if SCAN_UNROLL_INFERENCE is not None:
-        return bool(SCAN_UNROLL_INFERENCE)
-    return jax.default_backend() == "tpu"
-
 
 class BertDims(NamedTuple):
     hidden: int
@@ -163,7 +149,7 @@ def bert_stack(params: dict, x: jax.Array, bias: Optional[jax.Array],
     if rng is None:
         def body_norng(h, layer_params):
             return bert_layer(layer_params, h, bias, dims, train=train), None
-        x, _ = jax.lax.scan(body_norng, x, params, unroll=stack_unroll())
+        x, _ = jax.lax.scan(body_norng, x, params)
     else:
         x, _ = jax.lax.scan(body, x, (params, rngs))
     return x
@@ -222,8 +208,7 @@ def prenorm_stack(params: dict, x: jax.Array, bias: Optional[jax.Array],
         def body(h, layer_params):
             return prenorm_layer(layer_params, h, bias, dims,
                                  train=train), None
-        x, _ = jax.lax.scan(body, x, params["layers"],
-                            unroll=stack_unroll())
+        x, _ = jax.lax.scan(body, x, params["layers"])
     else:
         rngs = jax.random.split(rng, num_layers)
 

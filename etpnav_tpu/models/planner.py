@@ -243,8 +243,7 @@ def _x_stack(params: dict, cfg: PlannerConfig, visn: jax.Array,
         def body(h, layer_params):
             return _x_layer(layer_params, cfg, h, txt, txt_bias, visn_bias,
                             train=train), None
-        from etpnav_tpu.models.bert_core import stack_unroll
-        visn, _ = jax.lax.scan(body, visn, params, unroll=stack_unroll())
+        visn, _ = jax.lax.scan(body, visn, params)
     else:
         rngs = jax.random.split(rng, num_layers)
 
@@ -289,8 +288,7 @@ def lang2visn_stack(params: dict, cfg: PlannerConfig, lang: jax.Array,
         def body(h, layer_params):
             return _lang2visn_layer(layer_params, cfg, h, visn, lang_bias,
                                     visn_bias, train=train), None
-        from etpnav_tpu.models.bert_core import stack_unroll
-        lang, _ = jax.lax.scan(body, lang, params, unroll=stack_unroll())
+        lang, _ = jax.lax.scan(body, lang, params)
     else:
         rngs = jax.random.split(rng, cfg.num_x_layers)
 

@@ -230,6 +230,9 @@ class DaggerTaskConfig:
     # the feature/candidate fns (models/convert.convert_full_policy);
     # '' = random init (pipeline-test mode, logged loudly)
     encoder_ckpt: str = ""
+    # PREVALENT pytorch_model.bin for the rec_vlnbert policy itself
+    # (models/convert.convert_rec_vlnbert); '' = random init
+    policy_ckpt: str = ""
     # recurrent VLN-BERT stack depths (vlnbert_PREVALENT.py la/vl
     # layers); -1 = reuse PLANNER.num_l_layers / num_x_layers
     la_layers: int = -1

@@ -197,8 +197,19 @@ def _build_dagger(cfg, args):
         angle_dim=p.angle_feat_size, max_cands=K + 1,
         hidden_dropout=p.hidden_dropout, attn_dropout=p.attn_dropout,
         pad_token_id=p.pad_token_id)
-    return RecVLNBertDagger(envs, rcfg, dcfg, candidate_fn, d.store_dir,
-                            seed=cfg.seed)
+    trainer = RecVLNBertDagger(envs, rcfg, dcfg, candidate_fn,
+                               d.store_dir, seed=cfg.seed)
+    if d.policy_ckpt:
+        # PREVALENT pytorch_model.bin -> policy transformer weights
+        # (vlnbert_init.py:10-18 equivalent)
+        import torch
+        from etpnav_tpu.models.convert import convert_rec_vlnbert
+        trainer.params = convert_rec_vlnbert(
+            torch.load(d.policy_ckpt, map_location="cpu"),
+            trainer.params, rcfg.la_layers, rcfg.vl_layers)
+        trainer.opt_state = trainer.tx.init(trainer.params)
+        logger.info("DAgger policy loaded from %s", d.policy_ckpt)
+    return trainer
 
 
 @register_trainer("Pretrain")
@@ -260,10 +271,13 @@ def run(args=None):
     logging.basicConfig(level=logging.INFO)
 
     trainer = TRAINER_REGISTRY[args.trainer](cfg, args)
-    if hasattr(trainer, "collect") and args.run_type != "train":
-        raise ValueError("the DAgger trainer only supports --run-type "
-                         "train; evaluate legacy policies offline from "
-                         "the trajectory store")
+    if hasattr(trainer, "collect") and args.run_type == "inference":
+        raise ValueError("the DAgger trainer has no leaderboard "
+                         "inference mode; use --run-type train or eval")
+    if (hasattr(trainer, "collect") and args.run_type == "eval"
+            and not hasattr(trainer, "evaluate")):
+        raise ValueError("this DAgger policy has no eval loop; "
+                         "use DAGGER.policy=rec_vlnbert")
     ckpt = args.ckpt or (cfg.inference.ckpt_path
                          if args.run_type == "inference" else None)
     if ckpt:
@@ -319,6 +333,12 @@ def run(args=None):
         logger.info("train done: %s", logs)
         return logs
     elif args.run_type == "eval":
+        if hasattr(trainer, "collect"):      # legacy DAgger greedy eval
+            n = args.episode_count if args.episode_count > 0 else 24
+            stats = trainer.evaluate(n,
+                                     success_distance=cfg.il.success_distance)
+            logger.info("dagger eval: %s", stats)
+            return stats
         n = (args.episode_count if args.episode_count > 0
              else cfg.eval.episode_count if cfg.eval.episode_count > 0
              else getattr(trainer.envs, "num_episodes", None) or 100)

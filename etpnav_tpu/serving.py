@@ -101,7 +101,7 @@ class NavServer:
         # observability counters (stats()); guarded by _lock
         self._steps_served = 0
         self._batches = 0
-        self._occupancy_sum = 0
+        self._failed_batches = 0
         self._thread = threading.Thread(target=self._batch_loop,
                                         daemon=True)
         self._thread.start()
@@ -208,17 +208,20 @@ class NavServer:
                 ses.in_flight = False
 
     def stats(self) -> dict:
-        """Service counters: steps served, device dispatches, mean batch
-        occupancy (slots used / max_batch — the TPU-utilization proxy:
-        the device batch is always padded to max_batch), live sessions,
-        and current queue depth."""
+        """Service counters: steps served, successful device dispatches,
+        failed dispatches, mean batch occupancy (slots used / max_batch —
+        the TPU-utilization proxy: the device batch is always padded to
+        max_batch), live sessions, and current queue depth. Counters
+        reflect SUCCESSFUL batches only — a failing dispatch poisons its
+        sessions and increments failed_batches instead."""
         with self._lock:
             batches = self._batches
             steps = self._steps_served
-            occ = (self._occupancy_sum / (batches * self.max_batch)
-                   if batches else 0.0)
+            failed = self._failed_batches
             live = sum(1 for s in self._sessions.values() if not s.done)
+        occ = steps / (batches * self.max_batch) if batches else 0.0
         return {"steps_served": steps, "batches": batches,
+                "failed_batches": failed,
                 "mean_occupancy": round(occ, 4),
                 "live_sessions": live,
                 "queue_depth": self._queue.qsize()}
@@ -270,13 +273,14 @@ class NavServer:
             batch = [p for p in batch if not p.cancelled]
             if not batch:
                 continue
-            with self._lock:
-                self._batches += 1
-                self._steps_served += len(batch)
-                self._occupancy_sum += len(batch)
             try:
                 self._process(batch)
+                with self._lock:
+                    self._batches += 1
+                    self._steps_served += len(batch)
             except Exception as e:
+                with self._lock:
+                    self._failed_batches += 1
                 # surface the failure to callers still waiting; their
                 # sessions may already be partially updated (the map
                 # update runs before scoring), so poison them — a retry

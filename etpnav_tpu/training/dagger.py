@@ -304,6 +304,15 @@ class RecVLNBertDagger:
         self._jit_update = _update
         self._update_key = jax.random.PRNGKey(seed + 1)
 
+    @staticmethod
+    def _env_action(a: int, pos_i, tgt):
+        """Candidate index -> env-layer action dict (act 0 stop / act 4
+        teleport-to-candidate; environments.py:436-477 semantics)."""
+        if a == 0:
+            return {"act": 0, "stop_pos": pos_i, "back_path": None}
+        return {"act": 4, "front_pos": pos_i, "ghost_pos": tgt,
+                "back_path": None}
+
     def _assemble_slots(self, cand):
         """Prepend the STOP slot (zero features, always valid)."""
         B = cand["rgb"].shape[0]
@@ -385,17 +394,10 @@ class RecVLNBertDagger:
                     t["cmask"].append(cmask[i])
                     t["teacher"].append(int(teach[i]))
                 pos, _ = envs.get_pos_ori()
-                env_actions = []
-                for i, a in enumerate(acts):
-                    if a == 0:
-                        env_actions.append(
-                            {"act": 0, "stop_pos": pos[i],
-                             "back_path": None})
-                    else:
-                        tgt = cand_pos[i][a - 1]
-                        env_actions.append(
-                            {"act": 4, "front_pos": pos[i],
-                             "ghost_pos": tgt, "back_path": None})
+                env_actions = [
+                    self._env_action(a, pos[i],
+                                     cand_pos[i][a - 1] if a else None)
+                    for i, a in enumerate(acts)]
                 results = envs.step(env_actions)
                 done_local = [i for i, r in enumerate(results) if r.done]
                 for i in reversed(done_local):
@@ -494,18 +496,10 @@ class RecVLNBertDagger:
                 self.params, tokens=jnp.asarray(tokens),
                 mask=jnp.asarray(lmask))
             live = list(range(B))
-            for _ in range(self.dcfg.max_steps):
+            for stepk in range(self.dcfg.max_steps):
                 n = envs.num_envs
                 cand = self.candidate_fn(obs)
                 rgb, dep, ang, cmask = self._assemble_slots(cand)
-                if hasattr(envs, "cand_real_pos_batch"):
-                    cand_pos = envs.cand_real_pos_batch(
-                        [cand["angles"][i] for i in range(n)],
-                        [cand["dists"][i] for i in range(n)])
-                else:
-                    cand_pos = [envs.cand_real_pos(
-                        i, cand["angles"][i], cand["dists"][i])
-                        for i in range(n)]
                 idx = np.asarray(live)
                 logits, state = self._jit_nav(
                     self.params, state=state,
@@ -516,17 +510,21 @@ class RecVLNBertDagger:
                     cand_dir=jnp.asarray(ang, jnp.float32),
                     cand_mask=jnp.asarray(cmask))
                 acts = np.asarray(jnp.argmax(logits, -1))
+                if stepk == self.dcfg.max_steps - 1:
+                    # forced stop at the step cap so every episode is
+                    # SCORED, not silently dropped (the main eval
+                    # rollout does the same, rollout.py force_stop)
+                    acts[:] = 0
+                # simulate only the CHOSEN candidate per moving env (the
+                # teacher needs all endpoints; greedy eval does not)
                 pos, _ = envs.get_pos_ori()
-                env_actions = []
-                for i, a in enumerate(acts):
-                    if a == 0:
-                        env_actions.append({"act": 0, "stop_pos": pos[i],
-                                            "back_path": None})
-                    else:
-                        env_actions.append(
-                            {"act": 4, "front_pos": pos[i],
-                             "ghost_pos": cand_pos[i][a - 1],
-                             "back_path": None})
+                env_actions = [
+                    self._env_action(
+                        a, pos[i],
+                        envs.cand_real_pos(
+                            i, [cand["angles"][i][a - 1]],
+                            [cand["dists"][i][a - 1]])[0] if a else None)
+                    for i, a in enumerate(acts)]
                 results = envs.step(env_actions)
                 done_local = [i for i, r in enumerate(results) if r.done]
                 for i in done_local:

@@ -33,9 +33,29 @@ def test_cli_dagger_cma(tmp_path):
     assert np.isfinite(losses).all()
 
 
-def test_cli_dagger_rejects_eval(tmp_path):
+def test_cli_dagger_eval_rec_vlnbert(tmp_path):
+    """--run-type eval drives the greedy legacy eval loop (forced stop
+    at the step cap scores every episode)."""
     cfg = _write_cfg(tmp_path)
-    with pytest.raises(ValueError, match="train"):
+    stats = run(["--exp-config", cfg, "--trainer", "DAgger",
+                 "--num-envs", "2", "--run-type", "eval",
+                 "--episode-count", "2",
+                 f"DAGGER.store_dir={tmp_path / 'store_ev'}"])
+    assert stats and np.isfinite(stats["success"])
+    assert "spl" in stats and "ndtw" in stats
+
+
+def test_cli_dagger_cma_rejects_eval(tmp_path):
+    cfg = _write_cfg(tmp_path)
+    with pytest.raises(ValueError, match="rec_vlnbert"):
         run(["--exp-config", cfg, "--trainer", "DAgger", "--num-envs",
-             "2", "--run-type", "eval",
+             "2", "--run-type", "eval", "DAGGER.policy=cma",
              f"DAGGER.store_dir={tmp_path / 'store2'}"])
+
+
+def test_cli_dagger_rejects_inference(tmp_path):
+    cfg = _write_cfg(tmp_path)
+    with pytest.raises(ValueError, match="inference"):
+        run(["--exp-config", cfg, "--trainer", "DAgger", "--num-envs",
+             "2", "--run-type", "inference",
+             f"DAGGER.store_dir={tmp_path / 'store3'}"])

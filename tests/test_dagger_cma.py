@@ -179,3 +179,86 @@ def test_pretrained_embedding_loading(tmp_path, rng):
                                       embedding_weights=loaded)
     np.testing.assert_allclose(np.asarray(params["embedding"]), table,
                                atol=1e-6)
+
+
+def test_instruction_encoder_matches_torch(rng):
+    """Bit-level parity with torch GRU/LSTM + pack_padded_sequence:
+    weights copied into our cells must reproduce torch's outputs and
+    final states on a padded batch (instruction_encoder.py:28-33,84-91
+    semantics)."""
+    import torch
+
+    cfg = _enc_cfg(rnn_type="LSTM", bidirectional=True)
+    E, H = cfg.embedding_size, cfg.hidden_size
+    t_rnn = torch.nn.LSTM(E, H, bidirectional=True, batch_first=True)
+    params = init_instruction_encoder(jax.random.PRNGKey(0), cfg)
+
+    def load_dir(p, sfx):
+        # torch gate order (i,f,g,o) matches our _lstm_cell; torch
+        # stores (4H, in) weights and two bias vectors
+        wi = t_rnn.state_dict()[f"weight_ih_l0{sfx}"].numpy()
+        wh = t_rnn.state_dict()[f"weight_hh_l0{sfx}"].numpy()
+        bi = t_rnn.state_dict()[f"bias_ih_l0{sfx}"].numpy()
+        bh = t_rnn.state_dict()[f"bias_hh_l0{sfx}"].numpy()
+        p["wi"] = {"w": jnp.asarray(wi.T), "b": jnp.asarray(bi + bh)}
+        p["wh"] = {"w": jnp.asarray(wh.T),
+                   "b": jnp.zeros(4 * H, jnp.float32)}
+
+    load_dir(params["fwd"], "")
+    load_dir(params["bwd"], "_reverse")
+
+    toks = rng.integers(1, cfg.vocab_size, (3, 9))
+    toks[0, 6:] = 0
+    toks[2, 4:] = 0
+    lengths = (toks != 0).sum(-1)
+    emb = np.asarray(params["embedding"])[toks]
+
+    packed = torch.nn.utils.rnn.pack_padded_sequence(
+        torch.tensor(emb), torch.tensor(lengths), batch_first=True,
+        enforce_sorted=False)
+    with torch.no_grad():
+        t_out, (t_h, _) = t_rnn(packed)
+    t_ctx = torch.nn.utils.rnn.pad_packed_sequence(
+        t_out, batch_first=True, total_length=9)[0].numpy()
+
+    ctx, pad = encode_instruction_rnn(params, cfg,
+                                      {"instruction": jnp.asarray(toks)})
+    np.testing.assert_allclose(np.asarray(ctx), t_ctx, atol=2e-6)
+
+    cfg_f = _enc_cfg(rnn_type="LSTM", bidirectional=True,
+                     final_state_only=True)
+    final = encode_instruction_rnn(params, cfg_f,
+                                   {"instruction": jnp.asarray(toks)})
+    t_final = np.concatenate([t_h[0].numpy(), t_h[1].numpy()], -1)
+    np.testing.assert_allclose(np.asarray(final), t_final, atol=2e-6)
+
+
+def test_instruction_encoder_matches_torch_gru(rng):
+    """Same parity for GRU (torch gate order r,z,n; torch keeps b_hn
+    inside the r-gated term — our _gru_cell reproduces that)."""
+    import torch
+
+    cfg = _enc_cfg(rnn_type="GRU", bidirectional=False)
+    E, H = cfg.embedding_size, cfg.hidden_size
+    t_rnn = torch.nn.GRU(E, H, batch_first=True)
+    params = init_instruction_encoder(jax.random.PRNGKey(0), cfg)
+    sd = t_rnn.state_dict()
+    params["fwd"]["wi"] = {"w": jnp.asarray(sd["weight_ih_l0"].numpy().T),
+                           "b": jnp.asarray(sd["bias_ih_l0"].numpy())}
+    params["fwd"]["wh"] = {"w": jnp.asarray(sd["weight_hh_l0"].numpy().T),
+                           "b": jnp.asarray(sd["bias_hh_l0"].numpy())}
+
+    toks = rng.integers(1, cfg.vocab_size, (2, 7))
+    toks[1, 5:] = 0
+    lengths = (toks != 0).sum(-1)
+    emb = np.asarray(params["embedding"])[toks]
+    packed = torch.nn.utils.rnn.pack_padded_sequence(
+        torch.tensor(emb), torch.tensor(lengths), batch_first=True,
+        enforce_sorted=False)
+    with torch.no_grad():
+        t_out, _ = t_rnn(packed)
+    t_ctx = torch.nn.utils.rnn.pad_packed_sequence(
+        t_out, batch_first=True, total_length=7)[0].numpy()
+    ctx, _ = encode_instruction_rnn(params, cfg,
+                                    {"instruction": jnp.asarray(toks)})
+    np.testing.assert_allclose(np.asarray(ctx), t_ctx, atol=2e-6)

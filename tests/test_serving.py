@@ -210,3 +210,31 @@ def test_server_stats():
         assert st["queue_depth"] == 0
     finally:
         server.shutdown()
+
+
+def test_server_stats_count_failures_separately():
+    """A failing dispatch must surface in failed_batches, not in
+    steps_served (counters reflect successful batches only)."""
+    cfg = tiny_config()
+    agent = JittedAgent(cfg, init_agent_params(jax.random.PRNGKey(0), cfg))
+    server = NavServer(cfg, agent, max_batch=2, max_wait_ms=5.0)
+    try:
+        server._process = lambda batch: (_ for _ in ()).throw(
+            RuntimeError("injected device failure"))
+        rng = np.random.default_rng(0)
+        sid = server.create_session(
+            rng.integers(1, cfg.planner.vocab_size, 8))
+        rgb = rng.integers(0, 256, (12, cfg.clip.image_size,
+                                    cfg.clip.image_size, 3)).astype(
+                                        np.uint8)
+        dep = rng.random((12, cfg.depth.input_size, cfg.depth.input_size,
+                          1)).astype(np.float32)
+        with pytest.raises(RuntimeError, match="injected"):
+            server.step(sid, rgb, dep, np.zeros(3),
+                        np.array([0.0, 0.0, 0.0, 1.0]))
+        st = server.stats()
+        assert st["failed_batches"] == 1
+        assert st["steps_served"] == 0 and st["batches"] == 0
+        assert st["live_sessions"] == 0      # session poisoned
+    finally:
+        server.shutdown()

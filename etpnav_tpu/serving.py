@@ -75,6 +75,8 @@ class _Pending:
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[dict] = None
     cancelled: bool = False         # set by a timed-out/aborted caller
+    claimed: bool = False           # set by the batcher once processing
+                                    # is committed; guarded by server lock
 
 
 class NavServer:
@@ -176,14 +178,19 @@ class NavServer:
         The default timeout covers cold-start compiles (tens of seconds
         per program on TPU). At most one step may be in flight per
         session (a concurrent second call raises). On timeout the
-        request is cancelled best-effort: if the batcher has not started
-        processing it, it will be skipped and no session state changes;
-        a request already being processed completes server-side, in
-        which case retrying the same observation would register it twice
-        — treat a TimeoutError as fatal for the session.
+        request is cancelled: if the batcher has not yet committed to
+        processing it, it is skipped and the session stays usable; if it
+        was already committed, the observation may be registered
+        server-side, so the session is marked done (poisoned) — a retry
+        would register the same observation twice.
         """
         if self._stop.is_set():
             raise RuntimeError("server is shut down")
+        rgb = np.asarray(rgb)
+        depth = np.asarray(depth)
+        pos = np.asarray(pos, np.float64)
+        ori_xyzw = np.asarray(ori_xyzw, np.float64)
+        self._validate_obs(rgb, depth, pos, ori_xyzw)
         with self._lock:
             ses = self._sessions[sid]
             if ses.done:
@@ -192,13 +199,19 @@ class NavServer:
                 raise RuntimeError(
                     f"session {sid} already has a step in flight")
             ses.in_flight = True
-        p = _Pending(ses, np.asarray(rgb), np.asarray(depth),
-                     np.asarray(pos, np.float64),
-                     np.asarray(ori_xyzw, np.float64))
+        p = _Pending(ses, rgb, depth, pos, ori_xyzw)
         try:
             self._queue.put(p)
             if not p.event.wait(timeout):
-                p.cancelled = True
+                with self._lock:
+                    p.cancelled = True
+                    if p.claimed:
+                        # the batcher committed to this request: the map
+                        # update may happen (or have happened) server-side,
+                        # so a retry would double-register — enforce the
+                        # fatal-timeout contract instead of relying on
+                        # client discipline
+                        ses.done = True
                 raise TimeoutError(f"step for session {sid} timed out")
             if isinstance(p.result, Exception):
                 raise p.result
@@ -206,6 +219,23 @@ class NavServer:
         finally:
             with self._lock:
                 ses.in_flight = False
+
+    def _validate_obs(self, rgb: np.ndarray, depth: np.ndarray,
+                      pos: np.ndarray, ori_xyzw: np.ndarray) -> None:
+        """Reject malformed observations at the door, so one bad client
+        can never poison the co-batched sessions (the device batch is
+        sized from cfg, and everything reaching _process conforms)."""
+        cfg = self.cfg
+        want_rgb = (12, cfg.clip.image_size, cfg.clip.image_size, 3)
+        want_dep = (12, cfg.depth.input_size, cfg.depth.input_size, 1)
+        if tuple(rgb.shape) != want_rgb:
+            raise ValueError(f"rgb shape {rgb.shape} != {want_rgb}")
+        if tuple(depth.shape) != want_dep:
+            raise ValueError(f"depth shape {depth.shape} != {want_dep}")
+        if pos.shape != (3,):
+            raise ValueError(f"pos shape {pos.shape} != (3,)")
+        if ori_xyzw.shape != (4,):
+            raise ValueError(f"ori shape {ori_xyzw.shape} != (4,)")
 
     def stats(self) -> dict:
         """Service counters: steps served, successful device dispatches,
@@ -270,14 +300,24 @@ class NavServer:
     def _batch_loop(self):
         while not self._stop.is_set():
             batch = self._collect()
-            batch = [p for p in batch if not p.cancelled]
+            # claim under the lock: after this point a timed-out caller
+            # knows its observation may be registered server-side (and
+            # poisons its session); before it, cancellation is clean
+            with self._lock:
+                batch = [p for p in batch if not p.cancelled]
+                for p in batch:
+                    p.claimed = True
             if not batch:
                 continue
             try:
                 self._process(batch)
+                # counters move BEFORE any client event fires: a caller
+                # may read stats() the instant it unblocks
                 with self._lock:
                     self._batches += 1
                     self._steps_served += len(batch)
+                for p in batch:
+                    p.event.set()
             except Exception as e:
                 with self._lock:
                     self._failed_batches += 1
@@ -293,12 +333,20 @@ class NavServer:
         self._drain_queue(RuntimeError("server is shut down"))
 
     def _process(self, batch: List[_Pending]):
+        """Run the two device dispatches and fill each request's result.
+
+        Does NOT set completion events — the batcher does that after the
+        service counters move, so stats() is consistent the moment a
+        client unblocks."""
         cfg = self.cfg
         n = len(batch)
         Bs = self.max_batch                   # static device batch
-        rgb = np.zeros((Bs,) + batch[0].rgb.shape, batch[0].rgb.dtype)
-        dep = np.zeros((Bs,) + batch[0].depth.shape,
-                       batch[0].depth.dtype)
+        # sized from cfg, not from batch[0]: every request was validated
+        # at step() entry, so the compiled shapes are load-independent
+        rgb = np.zeros((Bs, 12, cfg.clip.image_size, cfg.clip.image_size,
+                        3), np.uint8)
+        dep = np.zeros((Bs, 12, cfg.depth.input_size,
+                        cfg.depth.input_size, 1), np.float32)
         for i, p in enumerate(batch):
             rgb[i] = p.rgb
             dep[i] = p.depth
@@ -375,7 +423,6 @@ class NavServer:
                         "stop_prob": float(probs[i, 0]),
                         "num_nodes": gmap.num_nodes,
                         "num_ghosts": len(gmap.ghosts)}
-            p.event.set()
 
 
 def _now() -> float:

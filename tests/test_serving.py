@@ -212,6 +212,97 @@ def test_server_stats():
         server.shutdown()
 
 
+def test_malformed_request_rejected_at_entry(server_and_cfg):
+    """A wrong-shaped observation fails only the offending request —
+    validated at step() entry, never reaching the shared device batch —
+    and the session stays usable with correct observations."""
+    server, cfg = server_and_cfg
+    env = _make_env(cfg, 77)
+    obs = env.reset()[0]
+    sid = server.create_session(obs["instruction"])
+    pos, ori = env.get_pos_ori()
+    bad_rgb = np.zeros((12, 8, 8, 3), np.uint8)       # wrong H, W
+    with pytest.raises(ValueError, match="rgb shape"):
+        server.step(sid, bad_rgb, obs["depth"], pos[0], ori[0])
+    with pytest.raises(ValueError, match="depth shape"):
+        server.step(sid, obs["rgb"], obs["depth"][:, :2], pos[0], ori[0])
+    st = server.stats()
+    assert st["failed_batches"] == 0                  # no batch poisoned
+    res = server.step(sid, obs["rgb"], obs["depth"], pos[0], ori[0])
+    assert res["action"]["act"] in (0, 4)             # session healthy
+    server.close_session(sid)
+
+
+def test_timeout_before_claim_leaves_session_usable():
+    """A request that times out before the batcher commits to it is
+    skipped cleanly; the session can retry."""
+    import time
+    cfg = tiny_config()
+    agent = JittedAgent(cfg, init_agent_params(jax.random.PRNGKey(0), cfg))
+    server = NavServer(cfg, agent, max_batch=2, max_wait_ms=5.0)
+    try:
+        orig_collect = server._collect
+
+        def slow_collect():
+            time.sleep(0.5)            # batcher never claims in time
+            return orig_collect()
+
+        server._collect = slow_collect
+        rng = np.random.default_rng(0)
+        sid = server.create_session(
+            rng.integers(1, cfg.planner.vocab_size, 8))
+        rgb = rng.integers(0, 256, (12, cfg.clip.image_size,
+                                    cfg.clip.image_size, 3)).astype(
+                                        np.uint8)
+        dep = rng.random((12, cfg.depth.input_size, cfg.depth.input_size,
+                          1)).astype(np.float32)
+        with pytest.raises(TimeoutError):
+            server.step(sid, rgb, dep, np.zeros(3),
+                        np.array([0.0, 0.0, 0.0, 1.0]), timeout=0.05)
+        server._collect = orig_collect
+        res = server.step(sid, rgb, dep, np.zeros(3),
+                          np.array([0.0, 0.0, 0.0, 1.0]))
+        assert res["action"]["act"] in (0, 4)         # retry succeeded
+        assert server.stats()["steps_served"] == 1    # applied exactly once
+    finally:
+        server.shutdown()
+
+
+def test_timeout_after_claim_poisons_session():
+    """Once the batcher has committed to a request, a client timeout
+    marks the session done — a retry would register the observation
+    twice server-side (ADVICE round 1)."""
+    import time
+    cfg = tiny_config()
+    agent = JittedAgent(cfg, init_agent_params(jax.random.PRNGKey(0), cfg))
+    server = NavServer(cfg, agent, max_batch=2, max_wait_ms=5.0)
+    try:
+        orig_process = server._process
+
+        def slow_process(batch):
+            time.sleep(0.5)            # claimed, then outlives the timeout
+            return orig_process(batch)
+
+        server._process = slow_process
+        rng = np.random.default_rng(0)
+        sid = server.create_session(
+            rng.integers(1, cfg.planner.vocab_size, 8))
+        rgb = rng.integers(0, 256, (12, cfg.clip.image_size,
+                                    cfg.clip.image_size, 3)).astype(
+                                        np.uint8)
+        dep = rng.random((12, cfg.depth.input_size, cfg.depth.input_size,
+                          1)).astype(np.float32)
+        with pytest.raises(TimeoutError):
+            server.step(sid, rgb, dep, np.zeros(3),
+                        np.array([0.0, 0.0, 0.0, 1.0]), timeout=0.2)
+        time.sleep(0.6)                # let the server-side step finish
+        with pytest.raises(RuntimeError, match="already stopped"):
+            server.step(sid, rgb, dep, np.zeros(3),
+                        np.array([0.0, 0.0, 0.0, 1.0]))
+    finally:
+        server.shutdown()
+
+
 def test_server_stats_count_failures_separately():
     """A failing dispatch must surface in failed_batches, not in
     steps_served (counters reflect successful batches only)."""

@@ -61,7 +61,8 @@ class ProcessVectorEnv:
 
     def __init__(self, env_factories: Sequence[Callable], *,
                  threaded: bool = False, context: str = "fork",
-                 restart_on_crash: bool = False, max_restarts: int = 3):
+                 restart_on_crash: bool = False, max_restarts: int = 3,
+                 restart_decay_calls: int = 200):
         """context: 'fork' is fastest but hazardous once JAX (which is
         multithreaded) has initialized in the parent — fork can deadlock
         the child. Use 'forkserver' (or 'spawn') when workers start after
@@ -73,9 +74,13 @@ class ProcessVectorEnv:
         that dies mid-call is respawned from its factory; step/reset
         calls to it return a StepResult with done=True and
         info={'crashed': True} so the trainer can finish-and-drop that
-        episode, while the pool keeps serving. Each slot respawns at
-        most `max_restarts` times; oracle calls on a dead worker raise
-        after the respawn (they have no meaningful substitute value)."""
+        episode, while the pool keeps serving. Oracle calls on a dead
+        worker raise after the respawn (they have no meaningful
+        substitute value). The budget bounds crash *rate*, not lifetime
+        crashes: a slot may respawn at most `max_restarts` times, but
+        after `restart_decay_calls` successful worker replies since its
+        last crash the counter resets — a sporadically-crashing worker
+        on a long run never escalates into killing the whole pool."""
         self._n = len(env_factories)
         self._threaded = threaded
         self._live = list(range(self._n))
@@ -83,7 +88,9 @@ class ProcessVectorEnv:
         self._context = context
         self._restart_on_crash = restart_on_crash
         self._max_restarts = max_restarts
+        self._restart_decay_calls = restart_decay_calls
         self._restarts = [0] * self._n
+        self._ok_calls = [0] * self._n   # successful replies since crash
         if threaded:
             # ThreadedVectorEnv-style debug fallback: in-process envs
             self._envs = [f() for f in env_factories]
@@ -113,6 +120,7 @@ class ProcessVectorEnv:
     # ---- failure detection / elastic recovery ----
 
     def _restart_worker(self, i: int):
+        self._ok_calls[i] = 0
         self._restarts[i] += 1
         if self._restarts[i] > self._max_restarts:
             raise RuntimeError(
@@ -193,6 +201,10 @@ class ProcessVectorEnv:
             status, res = replies[i]
             if status == "err":
                 raise RuntimeError(f"worker {i}: {res}")
+            self._ok_calls[i] += 1
+            if (self._restarts[i]
+                    and self._ok_calls[i] >= self._restart_decay_calls):
+                self._restarts[i] = 0     # budget bounds rate, not total
             out.append(res)
         return out
 
@@ -294,6 +306,10 @@ class ProcessVectorEnv:
                 continue
             if status == "err":
                 raise RuntimeError(f"worker {i}: {res}")
+            self._ok_calls[i] += 1
+            if (self._restarts[i]
+                    and self._ok_calls[i] >= self._restart_decay_calls):
+                self._restarts[i] = 0
             out.append(res[0])
         return out
 

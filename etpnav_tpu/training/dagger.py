@@ -187,6 +187,11 @@ class DaggerTrainer:
                     t["teacher"].append(int(teach[i]))
                 results = envs.step_low_level(list(acts))
                 done_local = [i for i, r in enumerate(results) if r.done]
+                for i in done_local:
+                    if results[i].info.get("crashed"):
+                        # partial trajectory from a dead worker — drop it
+                        # from the store (same policy as rollout/eval)
+                        trajs[live[i]]["crashed"] = True
                 for i in reversed(done_local):
                     envs.pause_at(i)
                     live.pop(i)
@@ -197,7 +202,7 @@ class DaggerTrainer:
                 obs = [r.observation for r in results]
 
             for t in trajs:
-                if t["rgb"]:
+                if t["rgb"] and not t.get("crashed"):
                     self.store.append({
                         "tokens": t["tokens"],
                         "rgb": np.stack(t["rgb"]),
@@ -220,7 +225,12 @@ class DaggerTrainer:
             order = self.rng.permutation(len(trajs))
             for s in range(0, len(order), self.dcfg.batch_size):
                 batch = [trajs[i] for i in order[s:s + self.dcfg.batch_size]]
-                B = len(batch)
+                # static shapes: pad the final partial batch to the full
+                # batch size with duplicate rows whose step masks are
+                # cleared, so _cma_update compiles exactly once per T
+                n_real = len(batch)
+                B = self.dcfg.batch_size
+                batch = batch + [batch[-1]] * (B - n_real)
                 tokens = np.stack([b["tokens"] for b in batch])
                 rgb = np.zeros((B, T, batch[0]["rgb"].shape[-1]),
                                np.float32)
@@ -234,6 +244,7 @@ class DaggerTrainer:
                     dep[i, :n] = b["dep"]
                     teach[i, :n] = b["teacher"]
                     mask[i, :n] = True
+                mask[n_real:] = False        # padding rows carry no loss
                 self.params, self.opt_state, loss = _cma_update(
                     self.params, self.opt_state, self.cfg, self.tx,
                     jnp.asarray(tokens), jnp.asarray(rgb),
@@ -400,6 +411,11 @@ class RecVLNBertDagger:
                     for i, a in enumerate(acts)]
                 results = envs.step(env_actions)
                 done_local = [i for i, r in enumerate(results) if r.done]
+                for i in done_local:
+                    if results[i].info.get("crashed"):
+                        # partial trajectory from a dead worker — drop it
+                        # from the store (same policy as rollout/eval)
+                        trajs[live[i]]["crashed"] = True
                 for i in reversed(done_local):
                     envs.pause_at(i)
                     live.pop(i)
@@ -410,7 +426,7 @@ class RecVLNBertDagger:
                 obs = [r.observation for r in results]
 
             for t in trajs:
-                if t["teacher"]:
+                if t["teacher"] and not t.get("crashed"):
                     self.store.append({
                         "tokens": t["tokens"],
                         "rgb": np.stack(t["rgb"]),
@@ -434,8 +450,15 @@ class RecVLNBertDagger:
             order = self.rng.permutation(len(trajs))
             for s in range(0, len(order), self.dcfg.batch_size):
                 batch = [trajs[i] for i in order[s:s + self.dcfg.batch_size]]
-                B = len(batch)
-                Lmax = max(len(b["tokens"]) for b in batch)
+                # static shapes: token width from the whole store (one
+                # value per update() call) and the final partial batch
+                # padded to full size with masked duplicate rows — one
+                # compiled (B, Lmax, T) shape instead of one per
+                # (partial-B, per-batch-Lmax) combination
+                n_real = len(batch)
+                B = self.dcfg.batch_size
+                batch = batch + [batch[-1]] * (B - n_real)
+                Lmax = max(len(t["tokens"]) for t in trajs)
                 tokens = np.full((B, Lmax), self.cfg.pad_token_id,
                                  np.int64)
                 rgb = np.zeros((B, T, K, self.cfg.rgb_dim), np.float32)
@@ -453,6 +476,7 @@ class RecVLNBertDagger:
                     cmask[i, :n] = b["cmask"]
                     teach[i, :n] = b["teacher"]
                     smask[i, :n] = True
+                smask[n_real:] = False       # padding rows carry no loss
                 # padded steps need >=1 valid candidate slot for a finite
                 # log-softmax (their loss rows are masked out anyway)
                 cmask[:, :, 0] = True

@@ -85,6 +85,69 @@ def test_dagger_train_loop(tmp_path):
     assert len(tr.store.shard_files()) >= 1
 
 
+def test_collect_drops_crashed_episodes(tmp_path):
+    """A worker crash (done + info={'crashed': True}) discards that
+    env's partial trajectory instead of storing it (ADVICE round 1)."""
+    from etpnav_tpu.env.protocol import StepResult
+
+    class CrashFirstEnv:
+        def __init__(self, inner):
+            self._inner = inner
+            self._fired = False
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def step_low_level(self, actions):
+            results = self._inner.step_low_level(actions)
+            if not self._fired and self._inner.num_envs > 1:
+                self._fired = True
+                r = results[0]
+                results[0] = StepResult(r.observation, True,
+                                        {"crashed": True})
+            return results
+
+    envs = CrashFirstEnv(_envs(2))
+    dcfg = DaggerConfig(episodes_per_iter=1, batch_size=2, max_steps=30)
+    tr = DaggerTrainer(envs, CFG, dcfg, _feature_fn,
+                       str(tmp_path / "store"), seed=0)
+    tr.collect(beta=1.0, episodes=1)
+    trajs = list(tr.store)
+    assert len(trajs) == 1        # only the surviving env's episode
+
+
+def test_update_single_compiled_shape(tmp_path):
+    """The supervised update pads the final partial batch to the full
+    batch size, so _cma_update sees exactly one shape per T (static
+    shapes invariant; ADVICE round 1)."""
+    from etpnav_tpu.training import dagger as dagger_mod
+
+    envs = _envs(3)               # 3 episodes, batch_size=2 -> 2+1
+    dcfg = DaggerConfig(iterations=1, episodes_per_iter=3, epochs=1,
+                        batch_size=2, max_steps=10)
+    tr = DaggerTrainer(envs, CFG, dcfg, _feature_fn,
+                       str(tmp_path / "store"), seed=0)
+    tr.collect(beta=1.0, episodes=3)
+    shapes = []
+    orig = dagger_mod._cma_update
+
+    def recording(params, opt_state, cfg, tx, tokens, rgb, dep, teach,
+                  mask):
+        shapes.append((tokens.shape, rgb.shape, mask.shape))
+        return orig(params, opt_state, cfg, tx, tokens, rgb, dep, teach,
+                    mask)
+
+    dagger_mod._cma_update = recording
+    try:
+        loss = tr.update(epochs=1)
+    finally:
+        dagger_mod._cma_update = orig
+    assert np.isfinite(loss)
+    assert len(shapes) == 2                    # ceil(3 / 2) batches
+    assert len(set(shapes)) == 1               # ONE compiled shape
+    assert shapes[0][0][0] == dcfg.batch_size  # padded to full B
+
+
 def test_recollection_sampler():
     envs = _envs(2)
     it = iter(TeacherRecollectionSampler(envs, _feature_fn, max_steps=30))

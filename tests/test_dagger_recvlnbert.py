@@ -100,6 +100,53 @@ def test_collect_and_update(envs, tmp_path):
     assert (t["teacher"] >= 0).all() and (t["teacher"] < K).all()
 
 
+def test_collect_drops_crashed_episodes(envs, tmp_path):
+    """A worker crash (done + info={'crashed': True}) discards that
+    env's partial trajectory instead of storing it (ADVICE round 1)."""
+    from etpnav_tpu.env.protocol import StepResult
+
+    class CrashFirstEnv:
+        def __init__(self, inner):
+            self._inner = inner
+            self._fired = False
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def step(self, actions):
+            results = self._inner.step(actions)
+            if not self._fired and self._inner.num_envs > 1:
+                self._fired = True
+                r = results[0]
+                results[0] = StepResult(r.observation, True,
+                                        {"crashed": True})
+            return results
+
+    dcfg = DaggerConfig(episodes_per_iter=1, batch_size=2, max_steps=5)
+    trainer = RecVLNBertDagger(CrashFirstEnv(envs), CFG, dcfg,
+                               _candidate_fn, str(tmp_path / "store"),
+                               seed=0)
+    trainer.collect(beta=1.0, episodes=1)
+    assert len(list(trainer.store)) == 1   # surviving env only
+
+
+def test_update_single_compiled_shape(tmp_path):
+    """Partial final batches are padded to the full batch size and
+    token width comes from the whole store, so the jitted update
+    compiles exactly one shape (static shapes invariant)."""
+    envs3 = GeometricNavEnv(num_envs=3, seed=7, vocab_size=CFG.vocab_size,
+                            max_instr_len=12, image_size=16,
+                            depth_size=16)
+    dcfg = DaggerConfig(iterations=1, episodes_per_iter=3, epochs=2,
+                        batch_size=2, lr=1e-3, max_steps=5)
+    trainer = RecVLNBertDagger(envs3, CFG, dcfg, _candidate_fn,
+                               str(tmp_path / "store"), seed=0)
+    trainer.collect(beta=1.0, episodes=3)
+    loss = trainer.update()                # 2 epochs x (2+1) episodes
+    assert np.isfinite(loss)
+    assert trainer._jit_update._cache_size() == 1
+
+
 def test_update_learns_teacher(envs, tmp_path):
     """With beta=1 (pure teacher) collection, repeated supervised epochs
     drive the CE down — the policy imitates the oracle."""

@@ -227,6 +227,31 @@ def test_worker_restart_budget_exhausted():
         envs.close()
 
 
+def test_worker_restart_budget_decays_after_successful_period():
+    """The restart budget bounds crash RATE, not lifetime crashes: after
+    restart_decay_calls successful replies the slot's counter resets, so
+    a sporadically-crashing worker on a long run never escalates into
+    killing the pool (ADVICE round 1)."""
+    from etpnav_tpu.env.vector import GeometricEnvFactory
+    envs = ProcessVectorEnv(
+        [GeometricEnvFactory(600, dict(vocab_size=64, max_instr_len=8,
+                                       image_size=16, depth_size=16))],
+        restart_on_crash=True, max_restarts=1, restart_decay_calls=2)
+    try:
+        envs.reset()
+        envs.inject_worker_crash(0)
+        res = envs.step_low_level([1])
+        assert res[0].info.get("crashed")       # budget now exhausted...
+        envs.resume_all()
+        envs.reset()                            # ...but healthy traffic
+        envs.step_low_level([1])                # decays it back to zero
+        envs.inject_worker_crash(0)
+        res = envs.step_low_level([1])          # would raise without decay
+        assert res[0].info.get("crashed")
+    finally:
+        envs.close()
+
+
 def test_oracle_call_on_dead_worker_raises_but_respawns():
     envs = _make_pool(2)
     try:

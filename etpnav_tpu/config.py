@@ -264,6 +264,21 @@ class InferenceConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class DataPathsConfig:
+    """On-disk dataset layout for the habitat production path (reference
+    TASK_CONFIG/DATASET keys: run_r2r/r2r_vlnce.yaml DATASET section,
+    habitat_extensions/config/default.py:120-134). '{split}' is
+    interpolated like the reference's DATA_PATH."""
+
+    task_config: str = ""        # habitat TASK yaml (BASE_TASK_CONFIG_PATH)
+    data_path: str = ""          # episodes: .../{split}/{split}.json.gz
+    scenes_dir: str = ""         # MP3D scene datasets (DATASET.SCENES_DIR)
+    gt_path: str = ""            # ndtw gt: .../{split}/{split}_gt.json.gz
+    roles: Tuple[str, ...] = ("guide",)   # RxR DATASET.ROLES
+    languages: Tuple[str, ...] = ("*",)   # RxR DATASET.LANGUAGES
+
+
+@dataclasses.dataclass(frozen=True)
 class MeshConfig:
     """Device mesh layout. dp = data parallel, mp = model (tensor) parallel."""
 
@@ -285,6 +300,7 @@ class ExperimentConfig:
     mesh: MeshConfig = MeshConfig()
     eval: EvalConfig = EvalConfig()
     inference: InferenceConfig = InferenceConfig()
+    paths: DataPathsConfig = DataPathsConfig()
     seed: int = 0
     # MODEL.pretrained_path: torch pretrain checkpoint to convert + load
     # into the planner before fine-tuning (iter_train.yaml)

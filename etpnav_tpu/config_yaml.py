@@ -34,6 +34,7 @@ _SECTION_FIELDS = {
     "MESH": "mesh",
     "EVAL": "eval",
     "INFERENCE": "inference",
+    "PATHS": "paths",
 }
 
 _PRESETS = {

@@ -38,18 +38,32 @@ def make_habitat_envs(cfg, num_envs: int = 8, split: str = "train",
     scene subset, seeds offset per worker.
 
     cfg is the framework ExperimentConfig; the habitat TASK config is
-    built here (habitat.get_config over task_config_path) — workers must
-    never see the ExperimentConfig. Scenes default to the dataset's
-    scene list for the split (get_scenes_to_load, env_utils.py:66-75)."""
+    built here via make_vlnce_task_config (12-camera rig injection +
+    control quantization + dataset paths — the reference's _set_config
+    surgery, ss_trainer_ETP.py:85-123) — workers must never see the
+    ExperimentConfig. When cfg.paths.data_path is set, episodes are
+    loaded habitat-free (data/episodes.py) and injected into the workers
+    directly; otherwise habitat's own dataset registry is used and
+    scenes default to its scene list (get_scenes_to_load,
+    env_utils.py:66-75)."""
     if not habitat_available():
         raise RuntimeError(
             "habitat-sim is not installed; use GeometricNavEnv for "
             "simulation-free runs or install habitat-sim>=0.1.7")
     import habitat
+    from etpnav_tpu.env.habitat_config import (
+        load_split_episodes,
+        make_vlnce_task_config,
+    )
     from etpnav_tpu.env.habitat_worker import HabitatVectorEnv
-    task_cfg = (habitat.get_config(task_config_path) if task_config_path
-                else habitat.get_config())
-    if scenes is None:
+    base = (habitat.get_config(task_config_path) if task_config_path
+            else None)
+    task_cfg = make_vlnce_task_config(cfg, split=split, base=base)
+    episodes = None
+    if cfg.paths.data_path:
+        episodes = load_split_episodes(cfg, split, episodes_allowed)
+        episodes_allowed = None          # already applied
+    if episodes is None and scenes is None:
         try:
             dataset_cls = habitat.registry.get_dataset(
                 task_cfg.DATASET.TYPE)
@@ -60,7 +74,8 @@ def make_habitat_envs(cfg, num_envs: int = 8, split: str = "train",
         task_cfg, num_envs=num_envs, split=split,
         episodes_allowed=episodes_allowed, scenes=scenes,
         seed=cfg.seed if seed is None else seed,
-        restart_on_crash=getattr(cfg, "restart_crashed_workers", False))
+        restart_on_crash=getattr(cfg, "restart_crashed_workers", False),
+        episodes=episodes)
 
 
 def shard_scenes(scenes: List[str], num_workers: int) -> List[List[str]]:

@@ -45,7 +45,17 @@ class HabitatWorkerEnv:
                  seed: int = 0, episodes_allowed: Sequence[str] = None):
         import habitat
         self._cfg = habitat_config
-        self._env = habitat.Env(config=habitat_config)
+        if episodes is not None:
+            # direct episode injection from data/episodes.py records —
+            # replaces the reference's registry-registered dataset types
+            # (habitat_extensions/task.py:48,135)
+            from etpnav_tpu.env.habitat_config import (
+                episodes_to_habitat_dataset)
+            self._env = habitat.Env(
+                config=habitat_config,
+                dataset=episodes_to_habitat_dataset(episodes))
+        else:
+            self._env = habitat.Env(config=habitat_config)
         self._env.seed(seed)
         if episodes_allowed is not None:
             # EPISODES_ALLOWED filter (construct_envs episodes_allowed,
@@ -194,12 +204,27 @@ class HabitatWorkerEnv:
     def _pack_obs(self, obs) -> dict:
         """Collect the 12-camera panorama into (12, H, W, C) arrays,
         counter-clockwise with view 0 forward (the reference assembles the
-        same rig, ss_trainer_ETP.py:97-113)."""
+        same rig, ss_trainer_ETP.py:97-113).
+
+        A missing per-view sensor is a HARD error: silently substituting
+        the forward camera would run the model on 12 copies of one view
+        (garbage) without ever failing — the rig must be injected via
+        habitat_config.inject_camera_rig before workers start."""
+        missing = [f"{kind}_{v}" for v in range(1, 12)
+                   for kind in ("rgb", "depth")
+                   if f"{kind}_{v}" not in obs]
+        if "rgb" not in obs or "depth" not in obs or missing:
+            raise KeyError(
+                "panorama sensors missing from habitat observation: "
+                f"{missing or ['rgb', 'depth']} — the 12-camera rig was "
+                "not injected into the TASK config (use "
+                "habitat_config.make_vlnce_task_config / "
+                "inject_camera_rig)")
         rgb, dep = [], []
         for v in range(12):
             suffix = "" if v == 0 else f"_{v}"
-            rgb.append(obs.get(f"rgb{suffix}", obs.get("rgb")))
-            dep.append(obs.get(f"depth{suffix}", obs.get("depth")))
+            rgb.append(obs[f"rgb{suffix}"])
+            dep.append(obs[f"depth{suffix}"])
         return {
             "rgb": np.stack(rgb),
             "depth": np.stack(dep),
@@ -237,6 +262,70 @@ class HabitatWorkerEnv:
         else:
             raise NotImplementedError(act)
         return [StepResult(self._pack_obs(obs), done, info)]
+
+    def step_low_level(self, actions) -> List[StepResult]:
+        """Single discrete action (0 stop / 1 fwd / 2 left / 3 right)
+        with a rendered observation — the legacy CMA/DAgger control
+        surface (habitat_extensions/nav.py task actions drive the same
+        primitives)."""
+        act = int(actions[0])
+        if act == 0:
+            obs = self._env.step({"action": 0})      # STOP
+            return [StepResult(self._pack_obs(obs), True, self._info())]
+        if act == 1:
+            self._forward_once()
+        else:
+            self._step_without_obs(act)              # TURN_LEFT/RIGHT
+        s = self._state()
+        obs = self._sim().get_observations_at(
+            s.position, s.rotation, keep_agent_at_new_pose=True)
+        return [StepResult(self._pack_obs(obs), False, {})]
+
+    def shortest_path_action(self, env_idx: int,
+                             goal_radius: float = 0.5) -> int:
+        """Greedy geodesic teacher for low-level control (reference:
+        ShortestPathSensor over habitat's follower, sensors.py:70-113).
+        Prefers habitat's ShortestPathFollower; falls back to a
+        state-preserving probe — pick the 15-degree heading whose next
+        0.25 m step most reduces geodesic distance, then emit the first
+        primitive action toward it."""
+        sim = self._sim()
+        goal = self._env.current_episode.goals[0].position
+        try:
+            from habitat.tasks.nav.shortest_path_follower import (
+                ShortestPathFollower)
+            if not hasattr(self, "_follower"):
+                self._follower = ShortestPathFollower(
+                    sim, goal_radius, return_one_hot=False)
+            a = self._follower.get_next_action(goal)
+            return 0 if a is None else int(a)
+        except Exception:
+            pass
+        init = self._state()
+        if sim.geodesic_distance(init.position, goal) < goal_radius:
+            return 0
+        heading = heading_from_quaternion(np.array(
+            [init.rotation.x, init.rotation.y, init.rotation.z,
+             init.rotation.w]))
+        best, best_d = 0, np.inf
+        for k in range(-11, 13):                 # 15-degree headings
+            ang = math.radians(15.0 * k)
+            sim.set_agent_state(
+                init.position,
+                heading_to_quat((heading + ang) % (2 * math.pi)).tolist())
+            if hasattr(sim, "step_without_obs"):
+                sim.step_without_obs(1)
+            else:
+                sim.step(1)
+            d = sim.geodesic_distance(sim.get_agent_state().position,
+                                      goal)
+            if d < best_d - 1e-9:
+                best, best_d = k, d
+            sim.set_agent_state(init.position, init.rotation)
+        sim.set_agent_state(init.position, init.rotation)
+        if best == 0:
+            return 1                             # already aligned: forward
+        return 2 if best > 0 else 3              # turn toward the heading
 
     def _info(self) -> dict:
         ep = self._env.current_episode
@@ -314,18 +403,55 @@ class HabitatVectorEnv:
     def __new__(cls, habitat_config, num_envs: int = 8,
                 split: str = "train", episodes_allowed=None,
                 scenes: Sequence[str] = None, seed: int = 0,
-                threaded: bool = False, restart_on_crash: bool = False):
+                threaded: bool = False, restart_on_crash: bool = False,
+                episodes: Sequence[Episode] = None):
         from etpnav_tpu.env.habitat_adapter import shard_scenes
         from etpnav_tpu.env.vector import ProcessVectorEnv
 
+        if episodes is not None and episodes_allowed is not None:
+            # filter BEFORE scene sharding so no worker ends up with an
+            # empty allowed set (the worker-side filter would raise)
+            allowed = set(map(str, episodes_allowed))
+            episodes = [e for e in episodes
+                        if str(e.episode_id) in allowed]
+            if not episodes:
+                raise ValueError("episodes_allowed matched no episode")
+            episodes_allowed = None
+        if episodes is not None and scenes is None:
+            scenes = sorted({e.scene_id for e in episodes})
         shards = (shard_scenes(list(scenes), num_envs) if scenes
                   else [None] * num_envs)
+        ep_shards = [None] * num_envs
+        if episodes is not None:
+            # each worker owns the episodes of its scene shard (scene-
+            # sharded episode split, env_utils.py:89-96); workers sharing
+            # a duplicated scene split its episodes round-robin instead
+            # of double-reporting them
+            by_scene = {}
+            for e in episodes:
+                by_scene.setdefault(e.scene_id, []).append(e)
+            seen = {}
+            ep_shards = []
+            for shard in shards:
+                mine = []
+                for s in set(shard):
+                    eps = by_scene.get(s, [])
+                    if not eps:
+                        continue
+                    n_owners = sum(s in sh for sh in shards)
+                    k = seen.get(s, 0)
+                    seen[s] = k + 1
+                    # more workers than episodes: duplicate rather than
+                    # hand a worker an empty (invalid) dataset
+                    mine.extend(eps[k::n_owners] or [eps[k % len(eps)]])
+                ep_shards.append(mine or None)
         factories = []
         for i in range(num_envs):
             def make(i=i):
                 cfg_i = _config_for_worker(habitat_config, shards[i],
                                            split, seed + i)
                 return HabitatWorkerEnv(cfg_i, seed=seed + i,
+                                        episodes=ep_shards[i],
                                         episodes_allowed=episodes_allowed)
             factories.append(make)
         return ProcessVectorEnv(factories, threaded=threaded,

@@ -112,14 +112,25 @@ def _build_dagger(cfg, args):
         RecVLNBertDagger,
     )
 
+    from etpnav_tpu.env.habitat_adapter import (
+        habitat_available,
+        make_habitat_envs,
+    )
+
     num_envs = getattr(args, "num_envs", 0) or cfg.num_environments
-    envs = GeometricNavEnv(
-        num_envs=num_envs, seed=cfg.seed,
-        vocab_size=cfg.planner.vocab_size,
-        max_instr_len=cfg.il.max_text_len,
-        image_size=cfg.clip.image_size,
-        depth_size=cfg.depth.input_size,
-        pad_id=cfg.planner.pad_token_id)
+    if habitat_available():
+        # same simulator selection as the SS-ETP builder above: the
+        # legacy path drives the real simulator when one is present
+        envs = make_habitat_envs(cfg, num_envs=num_envs, seed=cfg.seed)
+    else:
+        logger.warning("habitat-sim not available; using GeometricNavEnv")
+        envs = GeometricNavEnv(
+            num_envs=num_envs, seed=cfg.seed,
+            vocab_size=cfg.planner.vocab_size,
+            max_instr_len=cfg.il.max_text_len,
+            image_size=cfg.clip.image_size,
+            depth_size=cfg.depth.input_size,
+            pad_id=cfg.planner.pad_token_id)
     d = cfg.dagger
     dcfg = DaggerConfig(
         iterations=d.iterations, episodes_per_iter=d.episodes_per_iter,

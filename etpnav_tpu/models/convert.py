@@ -235,12 +235,10 @@ def convert_full_policy(state_dict: Mapping, planner_cfg=None,
 
     if "state_dict" in state_dict:
         state_dict = state_dict["state_dict"]
-    flat = {}
-    for k, v in state_dict.items():
-        for p in ("module.", "net."):
-            if k.startswith(p):
-                k = k[len(p):]
-        flat[k] = v
+    # iterative strip: DDP-wrapped policies save 'net.module.vln_bert.*'
+    # (ss_trainer_ETP.py:211-212 wraps policy.net in DDP), so a single
+    # pass over the prefixes would leave 'module.' behind
+    flat = strip_prefixes(state_dict, ("module.", "net."))
 
     planner_sd = {k[len("vln_bert."):]: v for k, v in flat.items()
                   if k.startswith("vln_bert.")}

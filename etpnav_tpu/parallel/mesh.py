@@ -37,8 +37,14 @@ def init_distributed(coordinator_address: Optional[str] = None,
     coordinator/SLURM env vars present). Returns True if a multi-process
     runtime is active afterwards."""
     import os
-    if jax.process_count() > 1:
-        return True
+
+    # must not touch the backend (jax.process_count/jax.devices) before
+    # jax.distributed.initialize — that initializes XLA and the
+    # rendezvous then refuses to run. Probe the distributed client state
+    # directly instead.
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
+        return jax.process_count() > 1
     detectable = (coordinator_address or num_processes
                   or os.environ.get("JAX_COORDINATOR_ADDRESS")
                   or os.environ.get("COORDINATOR_ADDRESS")
@@ -142,9 +148,27 @@ def shard_batch(mesh: Mesh, batch):
 
 def all_gather_object(obj, axis_name: str = "dp"):
     """Multi-host gather of arbitrary python objects
-    (reference all_gather_object, ss_trainer_ETP.py:727-738). On a
-    single-process run this is the identity list."""
+    (reference all_gather_object, ss_trainer_ETP.py:727-738; pickle
+    protocol of pretrain_src utils/distributed.py:91-131). On a
+    single-process run this is the identity list.
+
+    Objects are pickled to uint8 and padded to the max length across
+    processes before the allgather — each rank's object may have a
+    completely different structure (e.g. eval dicts keyed by the rank's
+    own episode ids), which rules out gathering the object as a pytree.
+    """
     if jax.process_count() == 1:
         return [obj]
+    import pickle
+
     from jax.experimental import multihost_utils
-    return list(multihost_utils.process_allgather(obj))
+
+    data = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.array([data.size], np.int32))          # (P, 1)
+    maxlen = int(sizes.max())
+    padded = np.zeros(maxlen, np.uint8)
+    padded[:data.size] = data
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return [pickle.loads(gathered[i, :int(sizes[i, 0])].tobytes())
+            for i in range(gathered.shape[0])]

@@ -58,22 +58,42 @@ def pose_walk(connectivity_dir: str, scan: str,
 
 
 class FeatureExtractor:
-    """Batched TPU feature extraction over rendered panoramas."""
+    """Batched TPU feature extraction over rendered panoramas.
 
-    def __init__(self, cfg, agent_params, batch_panos: int = 8):
+    class_proj: optional (num_classes, clip_output_dim) class text-
+    embedding matrix. When given, zero-shot class logits
+    (100 * norm(img) @ norm(class).T, the CLIP logit convention) are
+    appended after the feature columns, producing the prob-augmented
+    store layout the MRC pretraining task reads
+    (pretrain_src data/dataset.py:210 soft labels =
+    softmax(row[image_feat_size:]))."""
+
+    def __init__(self, cfg, agent_params, batch_panos: int = 8,
+                 class_proj=None):
         import jax
+        import jax.numpy as jnp
         from etpnav_tpu.models import clip_vit, depth_resnet
         self.cfg = cfg
         self.params = agent_params
         self.batch_panos = batch_panos
+        self.num_classes = 0 if class_proj is None else class_proj.shape[0]
+        if class_proj is not None:
+            class_proj = np.asarray(class_proj, np.float32)
+            class_proj = class_proj / np.linalg.norm(
+                class_proj, axis=-1, keepdims=True)
+            class_proj = jnp.asarray(class_proj)
 
         def _extract(params, rgb, depth):
-            import jax.numpy as jnp
             B, V = rgb.shape[:2]
             rgb_f = clip_vit.encode_image(
                 params.clip, cfg.clip,
                 clip_vit.preprocess_rgb(rgb.reshape((B * V,)
                                                     + rgb.shape[2:])))
+            if class_proj is not None:
+                normed = rgb_f / jnp.linalg.norm(rgb_f, axis=-1,
+                                                 keepdims=True)
+                logits = 100.0 * normed @ class_proj.T
+                rgb_f = jnp.concatenate([rgb_f, logits], axis=-1)
             dep_sp = depth_resnet.encode_depth(
                 params.depth, cfg.depth,
                 depth.reshape((B * V,) + depth.shape[2:]))

@@ -78,6 +78,30 @@ def load_annotations(anno_files: List[str], max_txt_len: int
     return out
 
 
+def _softmax_rows(x: np.ndarray) -> np.ndarray:
+    e = np.exp(x - x.max(axis=-1, keepdims=True))
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def _rel7_graph(g: "ScanGraph", cur: int, tgt: int,
+                cur_heading: float) -> np.ndarray:
+    """7-d relative position features of tgt seen from cur over the
+    connectivity graph (get_gmap_pos_fts layout, dataset.py:303-346):
+    angle fts (4), euclidean / shortest distance / hops, normalized."""
+    d = g.pos[tgt] - g.pos[cur]
+    xz = max(np.hypot(d[0], d[2]), 1e-8)
+    heading = np.arcsin(-d[0] / xz)
+    if d[2] > 0:
+        heading = np.pi - heading
+    heading -= cur_heading
+    out = np.zeros(7, np.float32)
+    out[:4] = angle_features(np.array([heading]), np.array([0.0]))[0]
+    out[4] = np.linalg.norm(d) / MAX_DIST
+    out[5] = g.dist[cur, tgt] / MAX_DIST
+    out[6] = (g.hops[cur, tgt] + 1) / MAX_STEP
+    return out
+
+
 class MP3DTrajectoryData:
     """Drop-in replacement for PretrainSampler backed by real artifacts."""
 
@@ -91,6 +115,18 @@ class MP3DTrajectoryData:
         self.dep_store = HDF5FeatureStore(dep_ft_file)
         self.connectivity_dir = connectivity_dir
         self._graphs: Dict[str, ScanGraph] = {}
+        self._img_width: Optional[int] = None
+
+    def _probe_img_width(self) -> int:
+        """Column count of the image store rows: image_feat_size for the
+        released CLIP stores, image_feat_size + image_prob_size for
+        prob-augmented stores emitted by data/feature_pipeline.py with a
+        class projection (the dataset.py:210 layout)."""
+        if self._img_width is None:
+            item = self.data[0]
+            arr = self.img_store.get(item["scan"], item["path"][0])
+            self._img_width = int(arr.shape[-1])
+        return self._img_width
 
     def graph(self, scan: str) -> ScanGraph:
         if scan not in self._graphs:
@@ -108,27 +144,58 @@ class MP3DTrajectoryData:
 
     def sample_batch(self, batch_size: int, task: str
                      ) -> Dict[str, np.ndarray]:
-        from etpnav_tpu.data.pretrain_data import mask_tokens
-        if task in ("mrc", "og"):
-            # The released R2R feature HDF5 stores exactly image_feat_size
-            # CLIP columns (no logit columns -> dataset.py:210's soft
-            # labels would be empty) and no object annotations, so MRC/OG
-            # are synthetic-source-only until a prob-augmented store is
-            # extracted (data/feature_pipeline.py can emit one).
+        from etpnav_tpu.data.pretrain_data import mask_tokens, \
+            sample_mrc_mask
+        sh = self.sh
+        if task == "og":
+            # object annotations are absent from the MP3D R2R artifacts
+            # (REVERIE-only); OG stays synthetic-source-only
             raise NotImplementedError(
-                f"{task} needs CLIP-logit columns / object annotations "
-                "not present in the released MP3D feature stores; use "
-                "the synthetic PretrainSampler or re-extract features "
-                "with class logits")
+                "og needs object annotations not present in the MP3D "
+                "R2R artifacts; use the synthetic PretrainSampler")
+        if task == "mrc":
+            prob_cols = self._probe_img_width() - sh.image_feat_size
+            if prob_cols < sh.image_prob_size or sh.image_prob_size <= 0:
+                # The released R2R store has exactly image_feat_size CLIP
+                # columns — no logit columns, so dataset.py:210's soft
+                # labels would be empty. feature_pipeline.FeatureExtractor
+                # (class_proj=...) emits a prob-augmented store.
+                raise NotImplementedError(
+                    f"mrc needs {sh.image_prob_size} CLIP-logit columns "
+                    f"after the {sh.image_feat_size} feature columns; "
+                    f"this store has {max(prob_cols, 0)} — re-extract "
+                    "with data/feature_pipeline.py class_proj")
         samples = [self._one(task) for _ in range(batch_size)]
+        auxes = [s.pop("_aux") for s in samples]
         batch = {k: np.stack([s[k] for s in samples])
                  for k in samples[0].keys()}
-        batch["txt_masks"] = batch["txt_ids"] != self.sh.pad_token_id
+        batch["txt_masks"] = batch["txt_ids"] != sh.pad_token_id
         if task == "mlm":
             masked, labels = zip(*[mask_tokens(self.rng, s["txt_ids"],
                                                self.sh) for s in samples])
             batch["txt_ids"] = np.stack(masked)
             batch["txt_labels"] = np.stack(labels)
+        elif task == "mrc":
+            # MRC masking over the final step's view tokens with soft
+            # CLIP-prob labels (tasks.py:142-153,192-194; dataset.py:210)
+            B, P = len(samples), sh.tokens_per_step
+            mrc_masks = np.zeros((B, P), bool)
+            probs = np.zeros((B, P, sh.image_prob_size), np.float32)
+            for i, (s, aux) in enumerate(zip(samples, auxes)):
+                t = int(s["last_step"])
+                tok_view = aux["tok_view"]                  # (P,) or -1
+                is_view = (tok_view >= 0) & s["vp_mask"][t]
+                logits = aux["img_row"][:, sh.image_feat_size:
+                                        sh.image_feat_size
+                                        + sh.image_prob_size]
+                vprobs = _softmax_rows(logits)              # (V, prob)
+                probs[i][is_view] = vprobs[tok_view[is_view]]
+                pick = sample_mrc_mask(self.rng, is_view,
+                                       sh.mrc_mask_prob)
+                mrc_masks[i] = pick
+                batch["vp_img"][i, t][pick] = 0.0
+            batch["vp_view_mrc_masks"] = mrc_masks
+            batch["vp_view_probs"] = probs
         return batch
 
     def _one(self, task: str) -> Dict[str, np.ndarray]:
@@ -138,7 +205,9 @@ class MP3DTrajectoryData:
         full_path = [g.index[vp] for vp in item["path"]]
 
         r = self.rng.random()
-        if task == "mlm" or r < 0.2 or len(full_path) <= 1:
+        if task in ("mlm", "mrc") or r < 0.2 or len(full_path) <= 1:
+            # mrc uses the positive end viewpoint (MrcDataset
+            # end_vp_pos_ratio=1, tasks.py:162-183)
             path = full_path
             end_is_goal = True
             gt_next = None
@@ -224,17 +293,7 @@ class MP3DTrajectoryData:
             else:
                 for (t, k) in unvisited[vi]:
                     out["agg_w"][si, t * P + k] += 1.0 / len(unvisited[vi])
-            d = g.pos[vi] - g.pos[cur]
-            xz = max(np.hypot(d[0], d[2]), 1e-8)
-            heading = np.arcsin(-d[0] / xz)
-            if d[2] > 0:
-                heading = np.pi - heading
-            heading -= cur_heading
-            out["gmap_pos_fts"][si, :4] = angle_features(
-                np.array([heading]), np.array([0.0]))[0]
-            out["gmap_pos_fts"][si, 4] = np.linalg.norm(d) / MAX_DIST
-            out["gmap_pos_fts"][si, 5] = g.dist[cur, vi] / MAX_DIST
-            out["gmap_pos_fts"][si, 6] = (g.hops[cur, vi] + 1) / MAX_STEP
+            out["gmap_pos_fts"][si] = _rel7_graph(g, cur, vi, cur_heading)
         vp_arr = np.asarray(slot_vps[1:], np.int64)
         if len(vp_arr):
             block = g.dist[np.ix_(vp_arr, vp_arr)] / MAX_DIST
@@ -244,6 +303,28 @@ class MP3DTrajectoryData:
         out["txt_ids"] = np.full(sh.max_txt_len, sh.pad_token_id, np.int64)
         enc = item["instr_encoding"]
         out["txt_ids"][:len(enc)] = enc
+
+        # final-step local-branch inputs + MRC metadata (same layout as
+        # the synthetic sampler: vp_pos_fts rows carry start-rel [:7] on
+        # every row, cand-rel [7:] on cand rows; dataset.py:288-340)
+        t_last = len(path) - 1
+        out["last_step"] = np.int32(t_last)
+        vp_pos = np.zeros((1 + P, 14), np.float32)
+        vp_pos[:, :7] = _rel7_graph(g, cur, path[0], cur_heading)
+        last_cands = g.adj[cur][:sh.max_cands]
+        tok_view = np.full(P, -1, np.int64)
+        for k, ci in enumerate(last_cands):
+            vp_pos[1 + k, 7:] = _rel7_graph(g, cur, ci, cur_heading)
+            tok_view[k] = self._view_of(g, cur, ci)[0]
+        for v in range(sh.num_views):
+            slot = sh.max_cands + v
+            if out["vp_mask"][t_last, slot]:
+                tok_view[slot] = v
+        out["vp_pos_fts"] = vp_pos
+        out["_aux"] = {
+            "tok_view": tok_view,
+            "img_row": self.img_store.get(item["scan"], g.vp_ids[cur]),
+        }
         if end_is_goal:
             label = 0
         else:

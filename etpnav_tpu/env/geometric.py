@@ -463,6 +463,17 @@ class GeometricNavEnv:
             self._geodesic(self._pos[g], self._episodes[g].goal_position)
             for g in self._live])
 
+    def progress(self) -> np.ndarray:
+        """(distance_from_start - distance_to_goal) / distance_from_start
+        per live env (VLNOracleProgressSensor, sensors.py:116-163)."""
+        out = []
+        for g in self._live:
+            ep = self._episodes[g]
+            start = self._geodesic(ep.start_position, ep.goal_position)
+            cur = self._geodesic(self._pos[g], ep.goal_position)
+            out.append((start - cur) / max(start, 1e-8))
+        return np.asarray(out, np.float32)
+
     def point_dist_to_goal(self, env_idx: int, pos) -> float:
         g = self._live[env_idx]
         return self._geodesic(pos, self._episodes[g].goal_position)

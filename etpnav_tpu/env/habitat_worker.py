@@ -356,6 +356,15 @@ class HabitatWorkerEnv:
         return np.array([self._sim().geodesic_distance(
             self._state().position, ep.goals[0].position)])
 
+    def progress(self) -> np.ndarray:
+        """(start_geo - current_geo) / start_geo
+        (VLNOracleProgressSensor, sensors.py:116-163)."""
+        ep = self._env.current_episode
+        goal = ep.goals[0].position
+        start = self._sim().geodesic_distance(ep.start_position, goal)
+        cur = self._sim().geodesic_distance(self._state().position, goal)
+        return np.array([(start - cur) / max(start, 1e-8)], np.float32)
+
     def point_dist_to_goal(self, env_idx: int, pos) -> float:
         ep = self._env.current_episode
         return float(self._sim().geodesic_distance(

@@ -250,6 +250,11 @@ class ProcessVectorEnv:
         outs = self._call_workers(self._live, "current_dist_to_goal")
         return np.concatenate(outs)
 
+    def progress(self) -> np.ndarray:
+        """Batched VLNOracleProgressSensor equivalent (sensors.py:116)."""
+        outs = self._call_workers(self._live, "progress")
+        return np.concatenate(outs)
+
     def point_dist_to_goal(self, env_idx: int, pos) -> float:
         return self._call_workers([self._live[env_idx]],
                                   "point_dist_to_goal", [(0, pos)])[0]

@@ -8,6 +8,7 @@ GPU tensors — as jittable jax.image ops fused into the encoder program
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -82,6 +83,101 @@ def panorama_to_equirect(views: jax.Array, out_size: Tuple[int, int],
     xi = jnp.clip(x.astype(jnp.int32), 0, W - 1)
     yi = jnp.clip(y.astype(jnp.int32), 0, H - 1)
     return views[..., view_idx, yi, xi, :]
+
+
+# cubemap face order of the reference transformer
+# (habitat_extensions/obs_transformers.py:213-245): Back Down Front Left
+# Right Up, each a 90-degree-FOV pinhole. Vectors in habitat world frame
+# (forward = -z, up = +y, right = +x): (forward, right, up) per face.
+_CUBE_FACES = (
+    ((0.0, 0.0, 1.0), (-1.0, 0.0, 0.0), (0.0, 1.0, 0.0)),    # Back
+    ((0.0, -1.0, 0.0), (1.0, 0.0, 0.0), (0.0, 0.0, -1.0)),   # Down
+    ((0.0, 0.0, -1.0), (1.0, 0.0, 0.0), (0.0, 1.0, 0.0)),    # Front
+    ((-1.0, 0.0, 0.0), (0.0, 0.0, -1.0), (0.0, 1.0, 0.0)),   # Left
+    ((1.0, 0.0, 0.0), (0.0, 0.0, 1.0), (0.0, 1.0, 0.0)),     # Right
+    ((0.0, 1.0, 0.0), (1.0, 0.0, 0.0), (0.0, 0.0, 1.0)),     # Up
+)
+
+
+def equirect_directions(out_size: Tuple[int, int]) -> "np.ndarray":
+    """(h, w, 3) unit view directions of the equirectangular grid;
+    column 0.5w looks at the Front face (-z)."""
+    import numpy as np
+    oh, ow = out_size
+    theta = (np.arange(ow) + 0.5) / ow * 2 * np.pi - np.pi
+    phi = (0.5 - (np.arange(oh) + 0.5) / oh) * np.pi
+    t, p = np.meshgrid(theta, phi)                  # (oh, ow)
+    return np.stack([np.cos(p) * np.sin(t), np.sin(p),
+                     -np.cos(p) * np.cos(t)], axis=-1)
+
+
+@functools.lru_cache(maxsize=8)
+def _cube_sampling_plan(face_hw: Tuple[int, int],
+                        out_size: Tuple[int, int]):
+    """Static gather plan for cubemap -> equirect: per output pixel the
+    4 bilinear source indices into the flattened (6*Hf*Wf) face stack and
+    their weights. Computed once per shape pair (numpy, trace-time)."""
+    import numpy as np
+    Hf, Wf = face_hw
+    d = equirect_directions(out_size).reshape(-1, 3)        # (N, 3)
+    best_dot = np.full(len(d), -np.inf)
+    face = np.zeros(len(d), np.int64)
+    u = np.zeros(len(d))
+    v = np.zeros(len(d))
+    for fi, (fwd, right, up) in enumerate(_CUBE_FACES):
+        dot = d @ np.asarray(fwd)
+        sel = dot > best_dot
+        with np.errstate(divide="ignore", invalid="ignore"):
+            uu = (d @ np.asarray(right)) / dot
+            vv = -(d @ np.asarray(up)) / dot
+        best_dot = np.where(sel, dot, best_dot)
+        face = np.where(sel, fi, face)
+        u = np.where(sel, uu, u)
+        v = np.where(sel, vv, v)
+    # face coords [-1,1] -> continuous pixel coords
+    x = (u + 1.0) * 0.5 * Wf - 0.5
+    y = (v + 1.0) * 0.5 * Hf - 0.5
+    x0 = np.clip(np.floor(x), 0, Wf - 1).astype(np.int64)
+    y0 = np.clip(np.floor(y), 0, Hf - 1).astype(np.int64)
+    x1 = np.minimum(x0 + 1, Wf - 1)
+    y1 = np.minimum(y0 + 1, Hf - 1)
+    wx = np.clip(x - x0, 0.0, 1.0)
+    wy = np.clip(y - y0, 0.0, 1.0)
+    base = face * (Hf * Wf)
+    idx = np.stack([base + y0 * Wf + x0, base + y0 * Wf + x1,
+                    base + y1 * Wf + x0, base + y1 * Wf + x1])  # (4, N)
+    w = np.stack([(1 - wy) * (1 - wx), (1 - wy) * wx,
+                  wy * (1 - wx), wy * wx]).astype(np.float32)   # (4, N)
+    return idx, w
+
+
+def cubemap_to_equirect(faces: jax.Array, out_size: Tuple[int, int]
+                        ) -> jax.Array:
+    """(..., 6, Hf, Wf, C) cubemap (face order Back, Down, Front, Left,
+    Right, Up — habitat_extensions/obs_transformers.py:213-245) ->
+    (..., h, w, C) equirectangular projection.
+
+    TPU-native formulation: the reference builds per-pixel grids and
+    runs grid_sample per frame on GPU; here the (face, bilinear-corner,
+    weight) plan is precomputed once per shape (static), so the whole
+    transform is 4 gathers + a weighted sum that jit/pjit fuses into the
+    surrounding program. uint8 inputs round-trip uint8 (rgb); float
+    passes through (depth)."""
+    *lead, six, Hf, Wf, C = faces.shape
+    assert six == 6, f"expected 6 cube faces, got {six}"
+    oh, ow = out_size
+    idx, w = _cube_sampling_plan((Hf, Wf), (oh, ow))
+    idx = jnp.asarray(idx)
+    w = jnp.asarray(w)
+    flat = faces.reshape((-1, 6 * Hf * Wf, C))
+    dtype = faces.dtype
+    out = jnp.zeros((flat.shape[0], idx.shape[1], C), jnp.float32)
+    for corner in range(4):
+        out = out + w[corner][None, :, None] * jnp.take(
+            flat, idx[corner], axis=1).astype(jnp.float32)
+    if jnp.issubdtype(dtype, jnp.integer):
+        out = jnp.clip(jnp.round(out), 0, 255)
+    return out.astype(dtype).reshape(tuple(lead) + (oh, ow, C))
 
 
 def _cover(cur: Tuple[int, int], target: Tuple[int, int]) -> Tuple[int, int]:

@@ -104,3 +104,25 @@ def test_episode_determinism():
     ea, eb = a.current_episodes()[0], b.current_episodes()[0]
     assert ea.episode_id == eb.episode_id
     np.testing.assert_allclose(ea.goal_position, eb.goal_position)
+
+
+def test_progress_oracle():
+    """VLNOracleProgressSensor equivalent (sensors.py:116-163): 0 at the
+    start, approaches 1 as the agent closes on the goal."""
+    env = GeometricNavEnv(num_envs=2, seed=11, vocab_size=64,
+                          max_instr_len=8, image_size=16, depth_size=16)
+    env.reset()
+    p0 = env.progress()
+    assert p0.shape == (2,)
+    np.testing.assert_allclose(p0, 0.0, atol=1e-6)
+    # teleport env 0 onto its goal: progress -> 1
+    ep = env.current_episodes()[0]
+    pos, _ = env.get_pos_ori()
+    env.step([{"act": 0, "stop_pos": ep.goal_position, "back_path": None,
+               "tryout": True},
+              {"act": 0, "stop_pos": pos[1], "back_path": None,
+               "tryout": True}])
+    env.resume_all()
+    # stopped envs keep positions; re-read progress on the full set
+    p1 = env.progress()
+    assert p1[0] > 0.99

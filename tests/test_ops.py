@@ -145,3 +145,80 @@ def test_extract_candidates_row_major_order(rng):
 
 def test_eight_virtual_devices():
     assert jax.device_count() == 8
+
+
+# ---------------------------------------------------------------------------
+# cubemap -> equirect (obs_transformers.py:213-264 CubeMap2Equirect)
+# ---------------------------------------------------------------------------
+
+def _render_cube_faces(fn, Hf, Wf):
+    """Render the 6 faces (Back Down Front Left Right Up) of an analytic
+    direction field fn(d)->(...,C)."""
+    from etpnav_tpu.ops.image import _CUBE_FACES
+    out = []
+    for fwd, right, up in _CUBE_FACES:
+        u = (np.arange(Wf) + 0.5) / Wf * 2 - 1
+        v = (np.arange(Hf) + 0.5) / Hf * 2 - 1
+        uu, vv = np.meshgrid(u, v)
+        d = (np.asarray(fwd)[None, None]
+             + uu[..., None] * np.asarray(right)[None, None]
+             - vv[..., None] * np.asarray(up)[None, None])
+        d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        out.append(fn(d))
+    return np.stack(out)
+
+
+def test_cubemap_to_equirect_analytic_field():
+    """Stitching faces rendered from a smooth direction field must
+    reproduce the direct equirect render of the same field (bilinear
+    tolerance) — validates face selection, orientation conventions, and
+    interpolation in one shot."""
+    from etpnav_tpu.ops.image import cubemap_to_equirect, \
+        equirect_directions
+
+    def field(d):
+        # smooth, direction-dependent, 3 channels
+        return np.stack([0.5 + 0.5 * d[..., 0],
+                         0.5 + 0.5 * d[..., 1],
+                         0.5 + 0.5 * d[..., 2]], axis=-1).astype(
+                             np.float32)
+
+    Hf = Wf = 64
+    faces = _render_cube_faces(field, Hf, Wf)            # (6,Hf,Wf,3)
+    out = np.asarray(cubemap_to_equirect(
+        jnp.asarray(faces)[None], (32, 64)))[0]
+    want = field(equirect_directions((32, 64)))
+    # bilinear resampling of a smooth field: small uniform error
+    assert np.abs(out - want).max() < 0.03
+    assert np.abs(out - want).mean() < 0.005
+
+
+def test_cubemap_to_equirect_face_placement():
+    """Solid-color faces land in the right equirect regions: front at
+    the center column, up at the top, down at the bottom, back at the
+    seam columns."""
+    from etpnav_tpu.ops.image import cubemap_to_equirect
+    # Back, Down, Front, Left, Right, Up
+    colors = np.arange(6, dtype=np.float32) + 1
+    faces = np.ones((6, 16, 16, 1), np.float32) * colors[:, None, None,
+                                                         None]
+    out = np.asarray(cubemap_to_equirect(jnp.asarray(faces), (32, 64)))
+    assert out[16, 32, 0] == 3.0          # center -> Front
+    assert out[16, 0, 0] == 1.0           # seam -> Back
+    assert out[16, 63, 0] == 1.0
+    assert out[0, 32, 0] == 6.0           # zenith -> Up
+    assert out[31, 32, 0] == 2.0          # nadir -> Down
+    assert out[16, 48, 0] == 5.0          # +90deg column -> Right
+    assert out[16, 16, 0] == 4.0          # -90deg column -> Left
+    assert set(np.unique(np.round(out, 3))) <= set(colors)
+
+
+def test_cubemap_to_equirect_uint8_and_batch():
+    from etpnav_tpu.ops.image import cubemap_to_equirect
+    rng = np.random.default_rng(0)
+    faces = rng.integers(0, 256, (2, 6, 8, 8, 3)).astype(np.uint8)
+    out = np.asarray(cubemap_to_equirect(jnp.asarray(faces), (16, 32)))
+    assert out.shape == (2, 16, 32, 3) and out.dtype == np.uint8
+    # jittable with static shapes
+    f = jax.jit(lambda x: cubemap_to_equirect(x, (16, 32)))
+    np.testing.assert_array_equal(np.asarray(f(jnp.asarray(faces))), out)

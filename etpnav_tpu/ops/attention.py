@@ -85,24 +85,39 @@ def mha(params: dict, q_in: jax.Array, kv_in: jax.Array, num_heads: int,
     H = num_heads
     hd = D // H
 
-    q = linear(params["q"], q_in).reshape(B, Lq, H, hd)
-    k = linear(params["k"], kv_in).reshape(B, -1, H, hd)
-    v = linear(params["v"], kv_in).reshape(B, -1, H, hd)
+    q2d = linear(params["q"], q_in)                  # (B, Lq, D)
+    k2d = linear(params["k"], kv_in)
+    v2d = linear(params["v"], kv_in)
+    q = q2d.reshape(B, Lq, H, hd)
+    k = k2d.reshape(B, -1, H, hd)
+    v = v2d.reshape(B, -1, H, hd)
     Lk = k.shape[1]
 
     drop_active = train and attn_dropout > 0.0 and rng is not None
     if bias is None and not drop_active and _fused_nobias_enabled():
-        # unbiased inference attention (frozen CLIP tower): fused kernel
-        # keeps the (B,H,Lq,Lk) logits in VMEM instead of HBM. The
-        # (B,L,H,hd)<->(B,H,L,hd) transposes around the kernel are
-        # effectively free (XLA fuses them: 0.79 vs 0.77 ms/layer bare
-        # kernel at the CLIP shape); moving the relayout into the kernel
-        # (blhd=True) measured 3x SLOWER — see tools/exp_attn_layout.py.
-        from etpnav_tpu.ops.pallas_attention import fused_attention
+        # unbiased inference attention (frozen CLIP tower). Preferred:
+        # the NO-TRANSPOSE kernel gridded over lane-blocks of the
+        # natural (B, L, D) projection layout — the four HBM transpose
+        # round-trips of the head-leading path cost more than the
+        # attention math at the CLIP shape (v5e-1, B=192 L=50:
+        # head-leading 0.824 ms/layer vs nhd 0.603 (hpb=4, blk=16);
+        # sweep in tools/exp_attn_nhd.py — all hpb in {2,4,6,12} land
+        # within noise of each other, all well under the transpose path.
         import math
+        from etpnav_tpu.ops.pallas_attention import (
+            fused_attention,
+            fused_attention_nhd,
+        )
+        scale = 1.0 / math.sqrt(hd)
+        for hpb in (4, 2):
+            if Lq == Lk and (hpb * hd) % 128 == 0 and H % hpb == 0:
+                ctx2d = fused_attention_nhd(q2d, k2d, v2d, scale,
+                                            num_heads=H,
+                                            heads_per_block=hpb)
+                return linear(params["o"], ctx2d)
         ctx = fused_attention(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3), 1.0 / math.sqrt(hd))
+            v.transpose(0, 2, 1, 3), scale)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Lq, D)
         return linear(params["o"], ctx)
     if bias is not None and not drop_active and _fused_enabled(Lk):

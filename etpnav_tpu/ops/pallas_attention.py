@@ -184,6 +184,75 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     )(q, k, v)
 
 
+def _attn_kernel_nhd(q_ref, k_ref, v_ref, out_ref, *, scale: float,
+                     hd: int, heads_per_block: int):
+    """No-transpose attention: operands arrive in the NATURAL
+    post-projection layout (blk, L, heads_per_block*hd) — a lane-block
+    of the (B, L, D) activations — and each head's 64-lane slice is
+    attended independently. Nothing is ever transposed, in HBM or VMEM.
+    """
+    for hh in range(heads_per_block):
+        sl = slice(hh * hd, (hh + 1) * hd)
+        q = q_ref[:, :, sl]                            # (blk, L, hd)
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        ctx = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        out_ref[:, :, sl] = (ctx / denom).astype(out_ref.dtype)
+
+
+def fused_attention_nhd(q: jax.Array, k: jax.Array, v: jax.Array,
+                        scale: float, *, num_heads: int,
+                        block_b: int = 16, heads_per_block: int = 4,
+                        interpret: bool = False) -> jax.Array:
+    """Unbiased fused attention over the NATURAL (B, L, D) layout.
+
+    The default path transposes q/k/v to head-leading (B,H,L,hd) in HBM
+    and back — at the CLIP shape (B=192x12 views, L=50, D=768) those
+    four layout round-trips cost more HBM time than the attention math
+    itself. Here the grid is (batch blocks x head groups): each program
+    DMAs a lane-contiguous (blk, L, heads_per_block*hd) block straight
+    out of the projection output, attends each head's lane slice, and
+    writes the context back in the same layout, so the out-projection
+    GEMM consumes it directly. Inference-only (frozen CLIP tower).
+
+    heads_per_block * hd should be a multiple of 128 (full lane tiles):
+    2 heads x 64 = 128 for the ViT-B shapes.
+    """
+    B, L, D = q.shape
+    hd = D // num_heads
+    hpb = max(1, min(heads_per_block, num_heads))
+    while num_heads % hpb:
+        hpb -= 1
+    blk = max(block_b, 1)
+    while blk > 1 and B % blk:
+        blk //= 2
+    lanes = hpb * hd
+    spec = pl.BlockSpec((blk, L, lanes), lambda b, h: (b, 0, h),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_nhd, scale=scale, hd=hd,
+                          heads_per_block=hpb),
+        grid=(B // blk, num_heads // hpb),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * num_heads * L * L * (2 * hd),
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=B * num_heads * L * L,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
 def _attention_xla(q, k, v, bias, scale):
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale

@@ -195,3 +195,14 @@ def test_full_size_depth_shape():
     out = depth_resnet.encode_depth(
         params, cfg, jnp.zeros((1, 128, 128, 1)), dtype=jnp.float32)
     assert out.shape == (1, 4, 4, 128)
+
+
+def test_depth_stem_matmul_matches_conv(rng):
+    """The im2col-matmul stem is the exact 7x7/s2 conv (same per-output
+    summation; ~70x roofline gap of the C_in=1 lax.conv on MXU)."""
+    from etpnav_tpu.models import depth_resnet as dr
+    x = jnp.asarray(rng.random((2, 64, 64, 1)), jnp.float32)
+    p = dr.conv_init(jax.random.PRNGKey(5), 7, 1, 16)
+    want = np.asarray(dr.conv2d(p, x, 2, 3))
+    got = np.asarray(dr._stem_conv_matmul(p, x))
+    np.testing.assert_allclose(got, want, atol=1e-5)

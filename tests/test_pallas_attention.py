@@ -168,3 +168,33 @@ def test_fused_attention_block_interpret_parity(rng):
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                atol=3e-5)
+
+
+def test_fused_attention_nhd_matches_xla(rng):
+    """No-transpose natural-layout kernel (grid over batch x head-group
+    lane blocks) matches the einsum formulation exactly; all
+    heads_per_block variants and a non-divisible batch."""
+    import math
+
+    from etpnav_tpu.ops.pallas_attention import fused_attention_nhd
+
+    B, L, H, hd = 6, 10, 8, 16
+    D = H * hd
+    scale = 1.0 / math.sqrt(hd)
+    q = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+
+    qh = q.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * scale
+    p = jax.nn.softmax(logits, -1)
+    want = np.asarray(jnp.einsum("bhqk,bhkd->bhqd", p, vh)
+                      .transpose(0, 2, 1, 3).reshape(B, L, D))
+
+    for hpb in (1, 2, 4, 8):
+        got = np.asarray(fused_attention_nhd(
+            q, k, v, scale, num_heads=H, heads_per_block=hpb,
+            block_b=4, interpret=True))
+        np.testing.assert_allclose(got, want, atol=2e-6)

@@ -240,3 +240,73 @@ def test_prevalent_checkpoint_conversion(rng):
                                   rgb, dep, ang, jnp.ones((B, K), bool))
     assert np.isfinite(np.asarray(logits)).all()
     assert np.isfinite(np.asarray(state2)).all()
+
+
+def test_encode_language_matches_hf_bert_via_released_layout(rng):
+    """encode_language pinned to HF BertModel goldens THROUGH the
+    released PREVALENT key layout: HF weights re-keyed to the
+    pytorch_model.bin naming ('lalayer.{i}.*', 'embeddings.*',
+    'pooler.*', vlnbert_PREVALENT.py:362-381), converted with
+    convert_rec_vlnbert, and the pooled state + language features
+    compared at 2e-5 (the PREVALENT language path IS a 9-layer BERT +
+    tanh pooler)."""
+    import torch
+    from transformers import BertConfig, BertModel
+
+    from etpnav_tpu.models.convert import convert_rec_vlnbert
+
+    hf_cfg = BertConfig(
+        vocab_size=CFG.vocab_size, hidden_size=CFG.hidden,
+        num_hidden_layers=CFG.la_layers, num_attention_heads=CFG.heads,
+        intermediate_size=CFG.intermediate,
+        max_position_embeddings=CFG.max_pos, hidden_act="gelu",
+        layer_norm_eps=CFG.eps, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0)
+    torch.manual_seed(7)
+    model = BertModel(hf_cfg).eval()          # with pooler
+
+    sd = {}
+    for k, v in model.state_dict().items():
+        if k.startswith("encoder.layer."):
+            k = "lalayer." + k[len("encoder.layer."):]
+        sd[k] = v                              # embeddings./pooler. as-is
+    # the ckpt also carries the cross-modal stack; synthesize it (the
+    # language path under test never touches it)
+    g = np.random.default_rng(0)
+    H, I = CFG.hidden, CFG.intermediate
+    for i in range(CFG.vl_layers):
+        b = f"addlayer.{i}"
+        for mod, din, dout in (
+                ("visual_attention.att.query", H, H),
+                ("visual_attention.att.key", H, H),
+                ("visual_attention.att.value", H, H),
+                ("visual_attention.output.dense", H, H),
+                ("visn_self_att.self.query", H, H),
+                ("visn_self_att.self.key", H, H),
+                ("visn_self_att.self.value", H, H),
+                ("visn_self_att.output.dense", H, H),
+                ("visn_inter.dense", H, I),
+                ("visn_output.dense", I, H)):
+            sd[f"{b}.{mod}.weight"] = g.standard_normal(
+                (dout, din)).astype(np.float32)
+            sd[f"{b}.{mod}.bias"] = np.zeros(dout, np.float32)
+        for ln in ("visual_attention.output.LayerNorm",
+                   "visn_self_att.output.LayerNorm",
+                   "visn_output.LayerNorm"):
+            sd[f"{b}.{ln}.weight"] = np.ones(H, np.float32)
+            sd[f"{b}.{ln}.bias"] = np.zeros(H, np.float32)
+    base = rvb.init_params(jax.random.PRNGKey(3), CFG)
+    params = convert_rec_vlnbert(sd, base, CFG.la_layers, CFG.vl_layers)
+
+    toks, mask = _tokens(np.random.default_rng(7))
+    state, feats = rvb.encode_language(params, CFG, toks, mask)
+    with torch.no_grad():
+        out = model(torch.from_numpy(np.asarray(toks)),
+                    attention_mask=torch.from_numpy(
+                        np.asarray(mask)).long())
+    m = np.asarray(mask)
+    np.testing.assert_allclose(np.asarray(feats)[m],
+                               out.last_hidden_state.numpy()[m],
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(state),
+                               out.pooler_output.numpy(), atol=2e-5)

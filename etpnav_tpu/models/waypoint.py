@@ -91,12 +91,22 @@ def heatmap_to_candidates(cfg: WaypointConfig, heatmap_logits: jax.Array
     """
     B = heatmap_logits.shape[0]
     A, D = cfg.num_angles, cfg.num_distances
-    prob = jax.nn.softmax(
-        heatmap_logits.reshape(B, A * D).astype(jnp.float32), axis=1
-    ).reshape(B, A, D)
-    wrapped = jnp.concatenate([prob[:, -1:], prob, prob[:, :1]], axis=1)
-    nms_map = heatmap_nms(wrapped, cfg.max_predictions, cfg.nms_sigma)
-    nms_map = nms_map[:, 1:-1, :]
+    if jax.default_backend() == "tpu":
+        # one fused kernel for softmax+wrap+NMS: the XLA chain spends
+        # ~0.6 ms at B=16 in op overhead on 94 KB of data
+        from etpnav_tpu.ops.pallas_nms import fused_heatmap_nms
+        nms_map = fused_heatmap_nms(
+            heatmap_logits.astype(jnp.float32), cfg.max_predictions,
+            cfg.nms_sigma)[:, 1:-1, :]
+    else:
+        prob = jax.nn.softmax(
+            heatmap_logits.reshape(B, A * D).astype(jnp.float32), axis=1
+        ).reshape(B, A, D)
+        wrapped = jnp.concatenate([prob[:, -1:], prob, prob[:, :1]],
+                                  axis=1)
+        nms_map = heatmap_nms(wrapped, cfg.max_predictions,
+                              cfg.nms_sigma)
+        nms_map = nms_map[:, 1:-1, :]
     angle_idx, dist_idx, valid = extract_candidates(
         nms_map, cfg.max_predictions)
 

@@ -198,3 +198,21 @@ def test_fused_attention_nhd_matches_xla(rng):
             q, k, v, scale, num_heads=H, heads_per_block=hpb,
             block_b=4, interpret=True))
         np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_fused_heatmap_nms_matches_xla_chain(rng):
+    """One-kernel softmax+wrap+NMS equals the XLA chain exactly,
+    including the reference's asymmetric circular-distance wrap quirk."""
+    from etpnav_tpu.ops.nms import heatmap_nms
+    from etpnav_tpu.ops.pallas_nms import fused_heatmap_nms
+
+    B, A, D = 4, 120, 12
+    logits = jnp.asarray(rng.standard_normal((B, A, D)) * 3, jnp.float32)
+    prob = jax.nn.softmax(
+        logits.reshape(B, A * D), axis=1).reshape(B, A, D)
+    wrapped = jnp.concatenate([prob[:, -1:], prob, prob[:, :1]], axis=1)
+    want = np.asarray(heatmap_nms(wrapped, 5, (7.0, 5.0)))
+    got = np.asarray(fused_heatmap_nms(logits, 5, (7.0, 5.0),
+                                       interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-7)
+    assert (np.count_nonzero(got.reshape(B, -1), axis=1) == 5).all()

@@ -295,7 +295,15 @@ def test_timeout_after_claim_poisons_session():
         with pytest.raises(TimeoutError):
             server.step(sid, rgb, dep, np.zeros(3),
                         np.array([0.0, 0.0, 0.0, 1.0]), timeout=0.2)
-        time.sleep(0.6)                # let the server-side step finish
+        # wait for the server-side step to actually COMPLETE before
+        # shutting down: shutdown()'s bounded join would otherwise leave
+        # the batcher thread running (first-compile can take tens of
+        # seconds) into subsequent tests
+        deadline = time.monotonic() + 300
+        while (server.stats()["steps_served"] == 0
+               and time.monotonic() < deadline):
+            time.sleep(0.05)
+        assert server.stats()["steps_served"] == 1
         with pytest.raises(RuntimeError, match="already stopped"):
             server.step(sid, rgb, dep, np.zeros(3),
                         np.array([0.0, 0.0, 0.0, 1.0]))

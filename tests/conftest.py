@@ -23,31 +23,14 @@ jax.config.update("jax_platforms", "cpu")
 # fp32 parity tests need true-fp32 matmuls (default precision truncates to
 # bf16 on some backends); bf16 perf paths pass bf16 inputs and are unaffected.
 jax.config.update("jax_default_matmul_precision", "highest")
-# persistent compilation cache: repeat suite runs skip XLA compiles.
-# Keyed by a HOST FINGERPRINT: this environment migrates between machines
-# with different CPU feature sets, and XLA:CPU AOT executables compiled
-# on one host SEGFAULT when deserialized on another (observed: suite
-# segfault in compilation_cache.get_executable_and_time after a host
-# change; jax logs "Target machine feature +prefer-no-scatter is not
-# supported on the host machine ... SIGILL" first).
-
-
-def _host_fingerprint() -> str:
-    import hashlib
-    import platform
-    try:
-        with open("/proc/cpuinfo") as f:
-            flags = next((ln for ln in f if ln.startswith("flags")), "")
-    except OSError:
-        flags = ""
-    key = f"{platform.machine()}|{flags}"
-    return hashlib.sha256(key.encode()).hexdigest()[:12]
-
-
-_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache", _host_fingerprint())
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NO persistent compilation cache on the CPU backend: this jaxlib's
+# XLA:CPU AOT (de)serialization is unreliable — the loader logs "Target
+# machine feature +prefer-no-scatter is not supported on the host
+# machine ... could lead to execution errors such as SIGILL" even for
+# entries written minutes earlier on the SAME host, and full-suite runs
+# intermittently SEGFAULT inside compilation_cache.get/put_executable
+# (reproduced 4x at tests/test_sharded_perceive.py setup, 2026-08-17).
+# Cold compiles cost ~25-40 min per full suite run; crashes cost more.
 
 
 @pytest.fixture

@@ -370,6 +370,14 @@ class HabitatWorkerEnv:
         return float(self._sim().geodesic_distance(
             list(map(float, pos)), ep.goals[0].position))
 
+    def point_dists_to_goal(self, env_idx: int, positions) -> np.ndarray:
+        """Batched oracle: one call for a whole candidate set (the
+        DAgger teacher's per-step query, dagger_trainer.py:210-230)."""
+        ep = self._env.current_episode
+        goal = ep.goals[0].position
+        return np.array([self._sim().geodesic_distance(
+            list(map(float, p)), goal) for p in positions])
+
     def cand_real_pos(self, env_idx: int, angles, distances) -> np.ndarray:
         """State-preserving candidate simulation
         (environments.py:121-143)."""

@@ -465,3 +465,48 @@ def test_dagger_cma_on_mock_habitat_pool(monkeypatch, tmp_path):
     losses = tr.train()
     assert np.isfinite(losses).all()
     assert len(list(tr.store)) >= 2
+
+
+def test_dagger_recvlnbert_on_mock_habitat_pool(monkeypatch, tmp_path):
+    """The candidate-space DAgger trainer (oracle candidate teacher via
+    cand_real_pos + point_dists_to_goal) drives the habitat worker pool
+    end-to-end — the production wiring when habitat is present."""
+    import math
+
+    fake = types.ModuleType("habitat")
+    fake.Env = _MockEnv
+    monkeypatch.setitem(sys.modules, "habitat", fake)
+    from etpnav_tpu.env.habitat_worker import HabitatVectorEnv
+    from etpnav_tpu.models.rec_vlnbert import RecVLNBertConfig
+    from etpnav_tpu.training.dagger import DaggerConfig, RecVLNBertDagger
+
+    env = HabitatVectorEnv(None, num_envs=2,
+                           episodes=_framework_episodes(), threaded=True)
+    cfg = RecVLNBertConfig(
+        vocab_size=64, hidden=48, heads=4, intermediate=64, la_layers=2,
+        vl_layers=2, max_pos=32, rgb_dim=8, depth_dim=4, angle_dim=4,
+        max_cands=4, hidden_dropout=0.0, attn_dropout=0.0)
+    angles = np.array([0.0, math.pi / 2, 3 * math.pi / 2])
+
+    def candidate_fn(obs):
+        B = len(obs)
+        K = len(angles)
+        rgb = np.tile(np.stack([o["rgb"][0].mean((0, 1)) for o in obs])
+                      [:, None], (1, K, 3))[:, :, :8].astype(np.float32)
+        dep = np.tile(np.stack([o["depth"][0].mean((0, 1)) for o in obs])
+                      [:, None], (1, K, 4))[:, :, :4].astype(np.float32)
+        ang = np.stack([np.stack([np.sin(angles), np.cos(angles),
+                                  np.zeros(K), np.ones(K)], -1)] * B)
+        return {"rgb": rgb, "depth": dep, "ang": ang.astype(np.float32),
+                "angles": np.tile(angles, (B, 1)),
+                "dists": np.full((B, K), 1.0),
+                "mask": np.ones((B, K), bool)}
+
+    tr = RecVLNBertDagger(env, cfg,
+                          DaggerConfig(iterations=1, episodes_per_iter=2,
+                                       epochs=1, batch_size=2,
+                                       max_steps=3),
+                          candidate_fn, str(tmp_path / "store"), seed=0)
+    losses = tr.train()
+    assert np.isfinite(losses).all()
+    assert len(list(tr.store)) >= 2

@@ -3,15 +3,15 @@
 The XLA formulation (ops/nms.py heatmap_nms) runs the 5 argmax+suppress
 rounds as a lax.fori_loop of small fused ops over a (B, 122, 12) map —
 ~94 KB of data spending ~0.6 ms in op-dispatch/fusion overhead at B=16
-(tools/exp_round2_perf.py nms_ms). Here the whole post-heatmap chain
-(softmax over the full map -> circular wrap rows -> iterative NMS) runs
-in ONE kernel with the map resident in VMEM.
+(tools/exp_round2_perf.py nms_ms). Here the whole NMS loop runs in ONE
+kernel with the map resident in VMEM, as plain 2D (B, H*W) vector ops
+(3D sub-tile layouts SIGABRT the Mosaic compiler at these shapes).
 
 Semantics are bit-faithful to ops/nms.py (itself pinned to the
 reference's waypoint_pred/utils.py:8-64 incl. the circular-*distance*
-wrap quirk): suppression is rectangular |dx|<=sigma_x (circular over the
-wrapped width), |dy|<=sigma_y, peaks distinct, values are the original
-softmax probabilities.
+wrap quirk): suppression is rectangular |dx|<=sigma_x (asymmetric
+circular over the width), |dy|<=sigma_y, peaks distinct, values are the
+original probabilities.
 """
 
 from __future__ import annotations
@@ -25,42 +25,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _nms_kernel(logits_ref, out_ref, *, max_predictions: int,
-                sigma: Tuple[float, float], A: int, D: int):
-    """logits (blk, A, D) raw heatmap logits -> sparse wrapped-map
-    (blk, A+2, D) with up to max_predictions peaks (softmax values)."""
-    x = logits_ref[...].astype(jnp.float32)            # (blk, A, D)
-    # softmax over the whole (A*D) map per batch element
-    m = jnp.max(x, axis=(1, 2), keepdims=True)
-    e = jnp.exp(x - m)
-    prob = e / jnp.sum(e, axis=(1, 2), keepdims=True)
-    # circular wrap rows: [last, 0..A-1, first] along the angle axis
-    wrapped = jnp.concatenate(
-        [prob[:, A - 1:A], prob, prob[:, 0:1]], axis=1)  # (blk, H, D)
-    H = A + 2
-    blk = wrapped.shape[0]
-    ys = jax.lax.broadcasted_iota(jnp.float32, (blk, H, D), 1)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (blk, H, D), 2)
-    flat_pos = ys * D + xs
+def _nms_kernel(prob_ref, out_ref, *, max_predictions: int,
+                sigma: Tuple[float, float], H: int, W: int):
+    """prob (blk, H*W) flattened wrapped map -> sparse map (blk, H*W)."""
+    flat = prob_ref[...].astype(jnp.float32)          # (blk, N)
+    blk, N = flat.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (blk, N), 1)
+    ys = pos // W
+    xs = pos - ys * W
 
-    supp = wrapped
-    out = jnp.zeros_like(wrapped)
+    supp = flat
+    out = jnp.zeros_like(flat)
     for _ in range(max_predictions):
-        peak = jnp.max(supp, axis=(1, 2), keepdims=True)
+        peak = jnp.max(supp, axis=1, keepdims=True)
         eq = supp >= peak
-        # first (row-major) peak position
-        idx = jnp.min(jnp.where(eq, flat_pos, jnp.float32(H * D)),
-                      axis=(1, 2), keepdims=True)
-        y_mu = jnp.floor(idx / D)
-        x_mu = idx - y_mu * D
-        hit_y = jnp.abs(ys - y_mu) <= sigma[1]
+        idx = jnp.min(jnp.where(eq, pos, N), axis=1,
+                      keepdims=True)                  # first peak
+        y_mu = idx // W
+        x_mu = idx - y_mu * W
+        hit_y = jnp.abs(ys - y_mu).astype(jnp.float32) <= sigma[1]
         # the reference's asymmetric circular wrap (utils.py:26 quirk,
         # preserved by ops/nms.py): min(|dx|, |dx + W|) — wraps only
         # from the negative side
         dxs = xs - x_mu
-        hit_x = jnp.minimum(jnp.abs(dxs),
-                            jnp.abs(dxs + D)) <= sigma[0]
-        is_peak = flat_pos == idx
+        hit_x = jnp.minimum(jnp.abs(dxs), jnp.abs(dxs + W)).astype(
+            jnp.float32) <= sigma[0]
+        is_peak = pos == idx
         out = jnp.where(is_peak, supp, out)
         supp = jnp.where(hit_x & hit_y, 0.0, supp)
     out_ref[...] = jnp.maximum(out, 0.0).astype(out_ref.dtype)
@@ -71,20 +61,27 @@ def fused_heatmap_nms(heatmap_logits: jax.Array, max_predictions: int,
                       block_b: int = 16,
                       interpret: bool = False) -> jax.Array:
     """(B, A, D) raw logits -> (B, A+2, D) sparse wrapped NMS map
-    (softmax values at peaks, 0 elsewhere) — equivalent to
-    softmax -> wrap -> ops/nms.heatmap_nms in one kernel."""
+    (softmax values at peaks, 0 elsewhere) — softmax + circular row wrap
+    run as (fused) XLA ops; the 5-round NMS loop runs as one kernel."""
     B, A, D = heatmap_logits.shape
+    prob = jax.nn.softmax(
+        heatmap_logits.reshape(B, A * D).astype(jnp.float32),
+        axis=1).reshape(B, A, D)
+    wrapped = jnp.concatenate([prob[:, A - 1:A], prob, prob[:, 0:1]],
+                              axis=1)                 # (B, H, D)
+    H = A + 2
     blk = max(block_b, 1)
     while blk > 1 and B % blk:
         blk //= 2
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_nms_kernel, max_predictions=max_predictions,
-                          sigma=tuple(sigma), A=A, D=D),
+                          sigma=tuple(sigma), H=H, W=D),
         grid=(B // blk,),
-        in_specs=[pl.BlockSpec((blk, A, D), lambda b: (b, 0, 0),
+        in_specs=[pl.BlockSpec((blk, H * D), lambda b: (b, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((blk, A + 2, D), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((blk, H * D), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, A + 2, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, H * D), jnp.float32),
         interpret=interpret,
-    )(heatmap_logits)
+    )(wrapped.reshape(B, H * D))
+    return out.reshape(B, H, D)

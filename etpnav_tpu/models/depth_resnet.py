@@ -148,11 +148,13 @@ def init_depth_params(key: jax.Array, cfg: DepthEncoderConfig) -> dict:
 def _stem_conv_matmul(params: dict, x: jax.Array) -> jax.Array:
     """The 7x7/stride-2 single-channel stem conv as an im2col matmul.
 
-    A C_in=1 conv maps terribly onto the MXU (contraction depth 49 with
-    one channel): lax.conv measured 0.9 ms of the 2.7 ms depth pass at
-    B=192 on v5e-1, ~70x off roofline. Building the 49 shifted strided
-    views and running ONE (B*H'*W', 49) @ (49, C) GEMM is identical math
-    (same summation order per output) at a fraction of the time."""
+    NOT USED on the hot path. Hypothesis was that a C_in=1 conv maps
+    terribly onto the MXU (contraction depth 49) and an explicit
+    (B*H'*W', 49) @ (49, C) GEMM would win; measured on v5e-1 at B=192
+    the opposite holds: lax.conv 0.79 ms vs 3.59 ms for this (the 49
+    strided views + stack dominate), and the im2col layout also slowed
+    the downstream trunk (~8.6 ms depth pass vs ~2.7 with lax.conv).
+    Kept (with its parity test) as a record of the measured dead end."""
     B, H, W, _ = x.shape
     k, stride, pad = 7, 2, 3
     Ho, Wo = H // stride, W // stride
@@ -172,7 +174,7 @@ def encode_depth(params: dict, cfg: DepthEncoderConfig, depth: jax.Array,
     """depth: (B, H, W, 1) in [0,1] -> (B, s, s, C) spatial features
     (s = H/32, C = output_size/s^2; (4,4,128) at H=128)."""
     x = depth.astype(dtype)
-    x = _stem_conv_matmul(params["stem_conv"], x)
+    x = conv2d(params["stem_conv"], x, 2, 3)
     x = jax.nn.relu(group_norm(params["stem_gn"], x, cfg.ngroups))
     x = max_pool(x)
     for li in range(4):

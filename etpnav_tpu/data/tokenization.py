@@ -11,14 +11,30 @@ import os
 from typing import Optional
 
 
+def _default_config_dirs():
+    """cwd `bert_config/` (the reference's repo-root layout) first, then
+    the vendored `configs/bert_config/` next to this package."""
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return ["bert_config", os.path.join(repo, "configs", "bert_config")]
+
+
 def get_tokenizer(task_type: str = "r2r",
                   bert_config_dir: Optional[str] = "bert_config"):
     from transformers import AutoTokenizer
     name = ("xlm-roberta-base" if task_type == "rxr"
             else "bert-base-uncased")
-    local = os.path.join(bert_config_dir or "", name)
-    if bert_config_dir and os.path.isdir(local):
-        return AutoTokenizer.from_pretrained(local)
+    dirs = ([bert_config_dir] if bert_config_dir not in (None, "bert_config")
+            else _default_config_dirs())
+    for d in dirs:
+        local = os.path.join(d, name)
+        # A config dir only makes a usable tokenizer if the vocab files
+        # are present; config.json alone falls through to the hub name.
+        if os.path.isdir(local) and any(
+                os.path.exists(os.path.join(local, f))
+                for f in ("vocab.txt", "sentencepiece.bpe.model",
+                          "tokenizer.json")):
+            return AutoTokenizer.from_pretrained(local)
     return AutoTokenizer.from_pretrained(name)
 
 

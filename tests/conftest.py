@@ -36,3 +36,26 @@ jax.config.update("jax_default_matmul_precision", "highest")
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables at module boundaries.
+
+    Full-suite runs (but no <=110-test subset) segfault inside
+    backend_compile_and_load at the same late compile
+    (tests/test_vector_env.py mrc_loss) — an XLA:CPU failure that only
+    appears after ~200 compiled programs accumulate in one process
+    (bisected 2026-08-17: every half-suite combination passes; two full
+    runs crashed at the identical stack). Tests share almost no compiled
+    programs across modules, so clearing per module caps resident
+    executables at near-zero recompile cost."""
+    yield
+    import gc
+    jax.clear_caches()
+    gc.collect()
+    log = os.environ.get("ETPNAV_RSS_LOG")
+    if log:
+        import resource
+        with open(log, "a") as f:
+            f.write(f"{resource.getrusage(resource.RUSAGE_SELF).ru_maxrss}\n")

@@ -310,6 +310,10 @@ class ExperimentConfig:
     # elastic recovery for --workers env pools: respawn crashed workers
     # and drop their episodes (env/vector.py; beyond-reference)
     restart_crashed_workers: bool = False
+    # route fixed-shape observation arrays through per-worker shared
+    # memory instead of the pickled worker pipe (env/shm_transport.py;
+    # beyond-reference — habitat VectorEnv always pickles)
+    shm_observations: bool = False
     tensorboard_dir: str = "logs/tensorboard"
     checkpoint_folder: str = "checkpoints"
     results_dir: str = "logs/eval_results"

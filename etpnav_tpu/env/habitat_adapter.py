@@ -16,6 +16,8 @@ from __future__ import annotations
 import logging
 from typing import List, Optional
 
+import numpy as np
+
 logger = logging.getLogger(__name__)
 
 
@@ -70,12 +72,19 @@ def make_habitat_envs(cfg, num_envs: int = 8, split: str = "train",
             scenes = dataset_cls.get_scenes_to_load(task_cfg.DATASET)
         except Exception:           # dataset without scene enumeration
             scenes = None
+    shm_spec = None
+    if getattr(cfg, "shm_observations", False):
+        from etpnav_tpu.env.shm_transport import ObsSpec
+        s, d = cfg.clip.image_size, cfg.depth.input_size
+        shm_spec = ObsSpec({
+            "rgb": ((12, s, s, 3), np.uint8),
+            "depth": ((12, d, d, 1), np.float32)})
     return HabitatVectorEnv(
         task_cfg, num_envs=num_envs, split=split,
         episodes_allowed=episodes_allowed, scenes=scenes,
         seed=cfg.seed if seed is None else seed,
         restart_on_crash=getattr(cfg, "restart_crashed_workers", False),
-        episodes=episodes)
+        episodes=episodes, shm_obs_spec=shm_spec)
 
 
 def shard_scenes(scenes: List[str], num_workers: int) -> List[List[str]]:

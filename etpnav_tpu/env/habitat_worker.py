@@ -421,7 +421,7 @@ class HabitatVectorEnv:
                 split: str = "train", episodes_allowed=None,
                 scenes: Sequence[str] = None, seed: int = 0,
                 threaded: bool = False, restart_on_crash: bool = False,
-                episodes: Sequence[Episode] = None):
+                episodes: Sequence[Episode] = None, shm_obs_spec=None):
         from etpnav_tpu.env.habitat_adapter import shard_scenes
         from etpnav_tpu.env.vector import ProcessVectorEnv
 
@@ -472,7 +472,8 @@ class HabitatVectorEnv:
                                         episodes_allowed=episodes_allowed)
             factories.append(make)
         return ProcessVectorEnv(factories, threaded=threaded,
-                                restart_on_crash=restart_on_crash)
+                                restart_on_crash=restart_on_crash,
+                                shm_obs_spec=shm_obs_spec)
 
 
 def _config_for_worker(habitat_config, content_scenes, split: str,

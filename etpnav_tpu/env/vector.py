@@ -21,15 +21,19 @@ import numpy as np
 from etpnav_tpu.env.protocol import StepResult
 
 
-def _worker_entry_pickled(conn, factory_bytes: bytes):
+def _worker_entry_pickled(conn, factory_bytes: bytes, shm_cfg=None):
     """Entry for spawn/forkserver contexts: the factory (often a closure)
     travels as cloudpickle bytes because plain pickle can't move it."""
     import cloudpickle
-    _worker_loop(conn, cloudpickle.loads(factory_bytes))
+    _worker_loop(conn, cloudpickle.loads(factory_bytes), shm_cfg)
 
 
-def _worker_loop(conn, env_factory):
+def _worker_loop(conn, env_factory, shm_cfg=None):
     env = env_factory()
+    chan = None
+    if shm_cfg is not None:
+        from etpnav_tpu.env import shm_transport as shmt
+        chan = shmt.ShmObsChannel(shm_cfg[1], name=shm_cfg[0])
     try:
         while True:
             cmd, payload = conn.recv()
@@ -49,10 +53,15 @@ def _worker_loop(conn, env_factory):
                     res = getattr(env, payload)
                 else:
                     raise ValueError(cmd)
+                if chan is not None:
+                    from etpnav_tpu.env import shm_transport as shmt
+                    res = shmt.encode_result(chan, res)
                 conn.send(("ok", res))
             except Exception as e:   # noqa: BLE001 — surface to parent
                 conn.send(("err", repr(e)))
     finally:
+        if chan is not None:
+            chan.close()
         conn.close()
 
 
@@ -62,7 +71,8 @@ class ProcessVectorEnv:
     def __init__(self, env_factories: Sequence[Callable], *,
                  threaded: bool = False, context: str = "fork",
                  restart_on_crash: bool = False, max_restarts: int = 3,
-                 restart_decay_calls: int = 200):
+                 restart_decay_calls: int = 200,
+                 shm_obs_spec=None, shm_copy: bool = True):
         """context: 'fork' is fastest but hazardous once JAX (which is
         multithreaded) has initialized in the parent — fork can deadlock
         the child. Use 'forkserver' (or 'spawn') when workers start after
@@ -80,7 +90,16 @@ class ProcessVectorEnv:
         crashes: a slot may respawn at most `max_restarts` times, but
         after `restart_decay_calls` successful worker replies since its
         last crash the counter resets — a sporadically-crashing worker
-        on a long run never escalates into killing the whole pool."""
+        on a long run never escalates into killing the whole pool.
+
+        shm_obs_spec: an env.shm_transport.ObsSpec routing the fixed-shape
+        observation arrays through per-worker shared memory instead of the
+        pickled pipe (3-4x fewer passes over the RGB-D payload; control
+        stays on the pipe). With shm_copy=False the parent gets read-only
+        zero-copy views valid only until the NEXT command to that worker —
+        the rollout consumes observations immediately, so that's the fast
+        path; the default copies out for unrestricted lifetime. Ignored in
+        threaded mode (no serialization there to begin with)."""
         self._n = len(env_factories)
         self._threaded = threaded
         self._live = list(range(self._n))
@@ -91,6 +110,9 @@ class ProcessVectorEnv:
         self._restart_decay_calls = restart_decay_calls
         self._restarts = [0] * self._n
         self._ok_calls = [0] * self._n   # successful replies since crash
+        self._shm_spec = None if threaded else shm_obs_spec
+        self._shm_copy = shm_copy
+        self._shm_channels = [None] * self._n
         if threaded:
             # ThreadedVectorEnv-style debug fallback: in-process envs
             self._envs = [f() for f in env_factories]
@@ -104,18 +126,32 @@ class ProcessVectorEnv:
         ctx = mp.get_context(self._context)
         parent, child = ctx.Pipe()
         f = self._factories[i]
+        shm_cfg = None
+        if self._shm_spec is not None:
+            if self._shm_channels[i] is None:   # respawns reuse the region
+                from etpnav_tpu.env.shm_transport import ShmObsChannel
+                self._shm_channels[i] = ShmObsChannel(self._shm_spec,
+                                                      create=True)
+            shm_cfg = (self._shm_channels[i].name, self._shm_spec)
         if self._context == "fork":
-            p = ctx.Process(target=_worker_loop, args=(child, f),
+            p = ctx.Process(target=_worker_loop, args=(child, f, shm_cfg),
                             daemon=True)
         else:
             import cloudpickle
             p = ctx.Process(target=_worker_entry_pickled,
-                            args=(child, cloudpickle.dumps(f)),
+                            args=(child, cloudpickle.dumps(f), shm_cfg),
                             daemon=True)
         p.start()
         child.close()
         self._conns[i] = parent
         self._procs[i] = p
+
+    def _decode(self, i: int, res):
+        chan = self._shm_channels[i]
+        if chan is None:
+            return res
+        from etpnav_tpu.env import shm_transport as shmt
+        return shmt.decode_result(chan, res, copy=self._shm_copy)
 
     # ---- failure detection / elastic recovery ----
 
@@ -205,7 +241,7 @@ class ProcessVectorEnv:
             if (self._restarts[i]
                     and self._ok_calls[i] >= self._restart_decay_calls):
                 self._restarts[i] = 0     # budget bounds rate, not total
-            out.append(res)
+            out.append(self._decode(i, res))
         return out
 
     # ---- VectorNavEnv protocol ----
@@ -315,7 +351,7 @@ class ProcessVectorEnv:
             if (self._restarts[i]
                     and self._ok_calls[i] >= self._restart_decay_calls):
                 self._restarts[i] = 0
-            out.append(res[0])
+            out.append(self._decode(i, res)[0])
         return out
 
     def ghost_dist_to_ref(self, env_idx: int, ghost_positions,
@@ -339,6 +375,9 @@ class ProcessVectorEnv:
                 pass
         for p in self._procs:
             p.join(timeout=5)
+        for ch in self._shm_channels:
+            if ch is not None:
+                ch.close()
 
 
 class GeometricEnvFactory:
@@ -354,8 +393,26 @@ class GeometricEnvFactory:
                                **self.env_kwargs)
 
 
+def geometric_obs_spec(env_kwargs: dict):
+    """ObsSpec for GeometricNavEnv's fixed-shape observation arrays
+    (rgb + depth; the small instruction vector rides the pipe)."""
+    import inspect
+
+    from etpnav_tpu.env.geometric import GeometricNavEnv
+    from etpnav_tpu.env.shm_transport import ObsSpec
+    sig = inspect.signature(GeometricNavEnv.__init__)
+
+    def val(name):
+        return env_kwargs.get(name, sig.parameters[name].default)
+
+    v, s, d = val("num_views"), val("image_size"), val("depth_size")
+    return ObsSpec({"rgb": ((v, s, s, 3), np.uint8),
+                    "depth": ((v, d, d, 1), np.float32)})
+
+
 def construct_geometric_envs(num_envs: int, *, workers: bool = True,
                              seed: int = 0, restart_on_crash: bool = False,
+                             shm_obs: bool = False, shm_copy: bool = True,
                              **env_kwargs):
     """construct_envs equivalent for the geometric world: one worker per
     env slot with disjoint seeds (scene sharding analogue)."""
@@ -365,4 +422,6 @@ def construct_geometric_envs(num_envs: int, *, workers: bool = True,
     return ProcessVectorEnv(
         [GeometricEnvFactory(seed * 1000 + i, env_kwargs)
          for i in range(num_envs)],
-        restart_on_crash=restart_on_crash)
+        restart_on_crash=restart_on_crash,
+        shm_obs_spec=geometric_obs_spec(env_kwargs) if shm_obs else None,
+        shm_copy=shm_copy)

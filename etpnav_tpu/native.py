@@ -1,7 +1,12 @@
-"""ctypes loader for the native host-side core (native/topo_core.cpp).
+"""ctypes loaders for the native host-side cores (native/*.cpp).
 
-Builds lazily with make/g++ on first use and caches the .so; every entry
-point has a numpy fallback so the framework runs without a toolchain.
+- topo_core: topological-map / metrics hot paths (APSP relax, pairwise
+  assembly, exact DTW).
+- io_core: observation-feed hot paths (parallel shared-memory gather).
+
+Both build lazily with make/g++ on first use and cache the .so; every
+entry point has a numpy fallback so the framework runs without a
+toolchain.
 """
 
 from __future__ import annotations
@@ -93,6 +98,69 @@ def pairwise_assemble(D: np.ndarray, anchors: np.ndarray,
                           _ptr(anchors, ctypes.c_int64),
                           _ptr(offsets, ctypes.c_double), m, scale,
                           _ptr(out, ctypes.c_double))
+    return out
+
+
+_IO_SO_PATH = os.path.join(_NATIVE_DIR, "libio_core.so")
+_io_lib = None
+_io_tried = False
+
+
+def get_io_lib() -> Optional[ctypes.CDLL]:
+    global _io_lib, _io_tried
+    with _lock:
+        if _io_lib is not None or _io_tried:
+            return _io_lib
+        _io_tried = True
+        if not os.path.exists(_IO_SO_PATH) and not _build():
+            return None
+        lib = ctypes.CDLL(_IO_SO_PATH)
+        lib.gather_copy.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int32]
+        lib.gather_copy.restype = None
+        _io_lib = lib
+        return _io_lib
+
+
+def gather_copy(srcs, out: np.ndarray, nthreads: int = 0) -> bool:
+    """Parallel memcpy of `srcs` into consecutive segments of `out`.
+
+    The sources' total nbytes must equal out.nbytes (out is treated as a
+    flat byte buffer; the caller owns the layout contract, e.g.
+    out (N, *s) filled from N sources of shape (*s)). Returns False when
+    the native lib is unavailable — caller falls back to numpy."""
+    lib = get_io_lib()
+    if lib is None:
+        return False
+    n = len(srcs)
+    ptrs = (ctypes.c_void_p * n)()
+    sizes = np.empty(n, np.int64)
+    total = 0
+    for i, a in enumerate(srcs):
+        assert a.flags.c_contiguous, "gather_copy sources must be C-contig"
+        ptrs[i] = a.ctypes.data
+        sizes[i] = a.nbytes
+        total += a.nbytes
+    assert out.flags.c_contiguous and out.nbytes == total, \
+        f"gather_copy layout mismatch: {out.nbytes} != {total}"
+    lib.gather_copy(ptrs, _ptr(sizes, ctypes.c_int64),
+                    out.ctypes.data_as(ctypes.c_void_p), n, nthreads)
+    return True
+
+
+def stack_arrays(arrays, out: Optional[np.ndarray] = None) -> np.ndarray:
+    """np.stack with the native parallel gather when available — the
+    parent-side batch assembly for shm observation views
+    (etpnav_tpu/env/shm_transport.py)."""
+    a0 = arrays[0]
+    if out is None:
+        out = np.empty((len(arrays),) + a0.shape, a0.dtype)
+    srcs = [np.ascontiguousarray(a, out.dtype) for a in arrays]
+    if not gather_copy(srcs, out):
+        for i, a in enumerate(srcs):
+            out[i] = a
     return out
 
 

@@ -64,6 +64,7 @@ def _build_ss_etp(cfg, args):
             return construct_geometric_envs(
                 per_pool, workers=True, seed=split_seed + i,
                 restart_on_crash=cfg.restart_crashed_workers,
+                shm_obs=cfg.shm_observations,
                 vocab_size=cfg.planner.vocab_size,
                 max_instr_len=cfg.il.max_text_len,
                 image_size=cfg.clip.image_size,

@@ -30,6 +30,7 @@ from typing import Dict, List, Optional
 import jax
 import numpy as np
 
+from etpnav_tpu import native
 from etpnav_tpu.config import ExperimentConfig
 from etpnav_tpu.graph.topo_map import TopoMap
 from etpnav_tpu.metrics import episode_metrics
@@ -173,8 +174,10 @@ class RolloutEngine:
 
         for stepk in range(T):
             n = envs.num_envs
-            rgb = np.stack([o["rgb"] for o in obs_list])
-            depth = np.stack([o["depth"] for o in obs_list])
+            # native parallel gather (io_core) — with shm observation
+            # views this is the only host copy between sim and device
+            rgb = native.stack_arrays([o["rgb"] for o in obs_list])
+            depth = native.stack_arrays([o["depth"] for o in obs_list])
 
             # ---- fused waypoint + pano perception (ONE device dispatch) --
             sample_rng = self._next_rng() if (train and il.waypoint_aug) \

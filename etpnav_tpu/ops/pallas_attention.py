@@ -423,6 +423,117 @@ def fused_prenorm_attention(x: jax.Array, ln: dict, attn: dict,
       row(attn["o"]["b"]))
 
 
+def _prenorm_attn_kernel_v2(x_ref, g_ref, b_ref, wq_ref, bq_ref, wk_ref,
+                            bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+                            out_ref, *, heads: int, scale: float,
+                            eps: float, blk: int):
+    """Pre-norm attention half-block, Mosaic-compatible formulation:
+        out = x + proj(attention(LN(x)))
+
+    The v1 kernel above (_prenorm_attn_kernel) is Mosaic-rejected on its
+    (blk*L, 3D) -> (blk, L, 3, H, hd) head split — a minor-dim reshape.
+    Here heads are never split by reshape: the three projections run as
+    full-width (blk*L, D) @ (D, D) GEMMs (MXU-efficient), and each head
+    is attended on its 64-lane slice exactly like _attn_kernel_nhd —
+    only leading-dim reshapes and lane slicing, both of which Mosaic
+    lowers. q/k/v/ctx never leave VMEM, which is the fusion win over
+    the XLA-projections + nhd-kernel production path."""
+    L, D = x_ref.shape[1], x_ref.shape[2]
+    hd = D // heads
+    x = x_ref[...]                                    # (blk, L, D)
+    cdt = x.dtype
+    x2 = x.reshape(blk * L, D)                        # leading merge
+    x32 = x2.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    a = ((x32 - mu) * jax.lax.rsqrt(var + eps)
+         * g_ref[0].astype(jnp.float32)
+         + b_ref[0].astype(jnp.float32)).astype(cdt)
+
+    def proj(wref, bref):
+        y = jax.lax.dot_general(a, wref[...].astype(cdt),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return (y + bref[0].astype(jnp.float32)).astype(cdt) \
+            .reshape(blk, L, D)                       # leading split
+    q = proj(wq_ref, bq_ref)
+    k = proj(wk_ref, bk_ref)
+    v = proj(wv_ref, bv_ref)
+
+    ctx_slices = []
+    for h in range(heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        logits = jax.lax.dot_general(
+            q[:, :, sl], k[:, :, sl], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale   # (blk, L, L)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        ctx = jax.lax.dot_general(
+            p.astype(cdt), v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        ctx_slices.append((ctx / denom).astype(cdt))
+    ctx = jnp.concatenate(ctx_slices, axis=-1)        # lane concat
+    out = jax.lax.dot_general(
+        ctx.reshape(blk * L, D), wo_ref[...].astype(cdt),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32) \
+        + bo_ref[0].astype(jnp.float32)
+    out_ref[...] = (x32 + out).astype(out_ref.dtype) \
+        .reshape(out_ref.shape)
+
+
+def fused_prenorm_attention_v2(x: jax.Array, ln: dict, attn: dict,
+                               num_heads: int, eps: float, *,
+                               block_b: int = 8,
+                               interpret: bool = False) -> jax.Array:
+    """x (B, L, D) -> x + proj(mha(LN(x))) in one kernel — the
+    Mosaic-compatible successor to fused_prenorm_attention (inference-
+    only; the frozen CLIP tower). ln = {'scale','bias'}, attn =
+    {'q','k','v','o'} linear params ({'w': (D,D), 'b': (D,)})."""
+    import math
+    B, L, D = x.shape
+    blk = max(block_b, 1)
+    while blk > 1 and B % blk:
+        blk //= 2
+    row = lambda a: a.reshape(1, -1)
+
+    def wspec(shape):
+        return pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    xspec = pl.BlockSpec((blk, L, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    a = attn
+    return pl.pallas_call(
+        functools.partial(_prenorm_attn_kernel_v2, heads=num_heads,
+                          scale=1.0 / math.sqrt(D // num_heads), eps=eps,
+                          blk=blk),
+        grid=(B // blk,),
+        in_specs=[
+            xspec,
+            wspec((1, D)), wspec((1, D)),
+            wspec((D, D)), wspec((1, D)),
+            wspec((D, D)), wspec((1, D)),
+            wspec((D, D)), wspec((1, D)),
+            wspec((D, D)), wspec((1, D)),
+        ],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * L * D * (4 * D) + 2 * B * num_heads * L * L
+            * (2 * D // num_heads),
+            bytes_accessed=2 * x.size * x.dtype.itemsize
+            + 4 * D * D * 4,
+            transcendentals=B * num_heads * L * L,
+        ),
+        interpret=interpret,
+    )(x, row(ln["scale"]), row(ln["bias"]),
+      a["q"]["w"], row(a["q"]["b"]), a["k"]["w"], row(a["k"]["b"]),
+      a["v"]["w"], row(a["v"]["b"]), a["o"]["w"], row(a["o"]["b"]))
+
+
 def supports_pallas() -> bool:
     return jax.default_backend() == "tpu"
 

@@ -84,6 +84,25 @@ def test_prenorm_block_interpret_parity(rng):
                                atol=1e-4)
 
 
+def test_prenorm_v2_interpret_parity(rng):
+    """Mosaic-compatible pre-norm half-block (lane-sliced heads):
+    interpret-mode parity with the LN + mha + residual reference."""
+    from etpnav_tpu.ops.basic import layer_norm, ln_init
+    from etpnav_tpu.ops.attention import mha, mha_init
+    from etpnav_tpu.ops.pallas_attention import fused_prenorm_attention_v2
+    B, L, D, H = 6, 50, 64, 4
+    x = jnp.asarray(_rand(rng, B, L, D))
+    attn = mha_init(jax.random.PRNGKey(1), D)
+    ln = ln_init(D)
+    ln = {"scale": ln["scale"] * 1.1, "bias": ln["bias"] + 0.05}
+    a = layer_norm(x, ln["scale"], ln["bias"], 1e-5)
+    ref = x + mha(attn, a, a, H)
+    out = fused_prenorm_attention_v2(x, ln, attn, H, 1e-5, block_b=2,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4)
+
+
 def test_fused_handles_masked_rows(rng):
     B, H, L, hd = 1, 2, 8, 16
     q = jnp.asarray(_rand(rng, B, H, L, hd))

@@ -36,7 +36,9 @@ CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 # Experimental: run each resblock's attention half (LN+QKV+attn+proj+
 # residual) as one Pallas kernel (ops/pallas_attention.py
-# fused_prenorm_attention). Off until hardware numerics+speed validate.
+# fused_prenorm_attention_v2 — the Mosaic-compatible lane-sliced-heads
+# formulation). Off until hardware numerics+speed validate
+# (tools/exp_prenorm_v2.py is the gate).
 USE_FUSED_BLOCK = False
 
 
@@ -106,9 +108,9 @@ def _trunk(params: dict, cfg: ClipConfig, x: jax.Array, dtype) -> jax.Array:
     def block(h, bp):
         if USE_FUSED_BLOCK and jax.default_backend() == "tpu":
             from etpnav_tpu.ops.pallas_attention import \
-                fused_prenorm_attention
-            h = fused_prenorm_attention(h, bp["ln_1"], bp["attn"],
-                                        cfg.heads, cfg.layer_norm_eps)
+                fused_prenorm_attention_v2
+            h = fused_prenorm_attention_v2(h, bp["ln_1"], bp["attn"],
+                                           cfg.heads, cfg.layer_norm_eps)
         else:
             a = layer_norm(h, bp["ln_1"]["scale"], bp["ln_1"]["bias"],
                            cfg.layer_norm_eps)

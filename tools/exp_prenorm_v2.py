@@ -75,6 +75,44 @@ def main():
             out[f"v2_blk{blk}_ms"] = round(timed(fn), 3)
         except Exception as e:   # noqa: BLE001 — record Mosaic rejections
             out[f"v2_blk{blk}_error"] = repr(e)[:200]
+
+    # full 12-layer tower A/B through the production entry point
+    from etpnav_tpu import config as cfgmod
+    from etpnav_tpu.models import clip_vit
+    cfg = cfgmod.ClipConfig()
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        clip_vit.init_clip_params(jax.random.PRNGKey(1), cfg))
+    rgb = jnp.asarray(rng.integers(0, 255, (192, cfg.image_size,
+                                            cfg.image_size, 3)), jnp.uint8)
+    xs8 = jnp.arange(1, 17, dtype=jnp.uint8)
+
+    def tower(fused: bool):
+        clip_vit.USE_FUSED_BLOCK = fused
+
+        def chained(rgb, xs):
+            def body(c, t):
+                r = rgb + t                 # perturb: no hoisting
+                e = clip_vit.encode_image_uint8(params, cfg, r)
+                return c + e.astype(jnp.float32).sum(), None
+            c, _ = jax.lax.scan(body, jnp.float32(0), xs)
+            return c
+        f = jax.jit(chained)
+        np.asarray(f(rgb, xs8))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f(rgb, xs8))
+            ts.append(time.perf_counter() - t0)
+        return min(ts) / 16 * 1e3
+
+    try:
+        out["tower_prod_ms"] = round(tower(False), 3)
+        out["tower_fused_ms"] = round(tower(True), 3)
+    except Exception as e:   # noqa: BLE001
+        out["tower_error"] = repr(e)[:200]
+    finally:
+        clip_vit.USE_FUSED_BLOCK = False
     print(json.dumps(out))
 
 

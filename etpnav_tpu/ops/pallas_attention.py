@@ -489,7 +489,20 @@ def fused_prenorm_attention_v2(x: jax.Array, ln: dict, attn: dict,
     """x (B, L, D) -> x + proj(mha(LN(x))) in one kernel — the
     Mosaic-compatible successor to fused_prenorm_attention (inference-
     only; the frozen CLIP tower). ln = {'scale','bias'}, attn =
-    {'q','k','v','o'} linear params ({'w': (D,D), 'b': (D,)})."""
+    {'q','k','v','o'} linear params ({'w': (D,D), 'b': (D,)}).
+
+    STATUS (v5e-1, 2026-08-17, tools/exp_prenorm_v2.py at B=192 L=50
+    H=12): compiles and matches the production path (maxerr 0.03 in
+    bf16) but LOSES the A/B at every block size — 1.151/1.135/1.211 ms
+    per layer (blk 8/16/32) vs 1.062 ms for XLA LN + XLA q/k/v/o GEMMs
+    + fused_attention_nhd. The fusion removes the q/k/v/ctx HBM
+    round-trips, but serializing all four projections behind per-head
+    64-lane-slice attention inside one kernel costs more than the HBM
+    traffic saved: XLA overlaps/pipelines the full-width GEMMs across
+    the tower better than the monolithic grid. Kept compilable (parity
+    test pins it) as the starting point if the CLIP attention half ever
+    needs another pass; NOT wired into production (clip_vit gate
+    USE_FUSED_BLOCK stays False)."""
     import math
     B, L, D = x.shape
     blk = max(block_b, 1)

@@ -61,8 +61,12 @@ def main():
         a = layer_norm(xx, ln["scale"], ln["bias"], eps)
         return xx + mha(attn, a, a, H)
 
+    def emit(k, v):
+        out[k] = v
+        print(json.dumps({k: v}), flush=True)   # survive a timeout kill
+
     out = {"backend": jax.default_backend(), "B": B}
-    out["production_ms"] = round(timed(production), 3)
+    emit("production_ms", round(timed(production), 3))
     for blk in (8, 16, 32):
         try:
             fn = lambda xx, blk=blk: pa.fused_prenorm_attention_v2(
@@ -71,10 +75,10 @@ def main():
             got = np.asarray(fn(x), np.float32)
             want = np.asarray(production(x), np.float32)
             err = float(np.abs(got - want).max())
-            out[f"v2_blk{blk}_maxerr"] = round(err, 5)
-            out[f"v2_blk{blk}_ms"] = round(timed(fn), 3)
+            emit(f"v2_blk{blk}_maxerr", round(err, 5))
+            emit(f"v2_blk{blk}_ms", round(timed(fn), 3))
         except Exception as e:   # noqa: BLE001 — record Mosaic rejections
-            out[f"v2_blk{blk}_error"] = repr(e)[:200]
+            emit(f"v2_blk{blk}_error", repr(e)[:200])
 
     # full 12-layer tower A/B through the production entry point
     from etpnav_tpu import config as cfgmod
@@ -107,10 +111,10 @@ def main():
         return min(ts) / 16 * 1e3
 
     try:
-        out["tower_prod_ms"] = round(tower(False), 3)
-        out["tower_fused_ms"] = round(tower(True), 3)
+        emit("tower_prod_ms", round(tower(False), 3))
+        emit("tower_fused_ms", round(tower(True), 3))
     except Exception as e:   # noqa: BLE001
-        out["tower_error"] = repr(e)[:200]
+        emit("tower_error", repr(e)[:200])
     finally:
         clip_vit.USE_FUSED_BLOCK = False
     print(json.dumps(out))

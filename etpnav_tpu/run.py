@@ -1,10 +1,14 @@
 """CLI entry point: config -> seed -> trainer registry -> train/eval/infer.
 
 Capability target: the reference's run.py:20-113 (argparse, config merge,
-seeding, baseline_registry trainer lookup, mode dispatch).
+seeding, baseline_registry trainer lookup, mode dispatch). --run-type
+serve has no reference counterpart: it exposes the SS-ETP policy as a
+network service (serving.py + serving_http.py).
 
     python -m etpnav_tpu.run --exp-config cfg.yaml --run-type train \
         IL.lr=2e-5 MESH.mp=2
+    python -m etpnav_tpu.run --exp-config cfg.yaml --run-type serve \
+        --ckpt ckpt_iter12000 --port 8080
 """
 
 from __future__ import annotations
@@ -246,8 +250,18 @@ def _build_pretrain(cfg, args):
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(description="etpnav_tpu runner")
     ap.add_argument("--exp-config", required=True)
-    ap.add_argument("--run-type", choices=["train", "eval", "inference"],
+    ap.add_argument("--run-type",
+                    choices=["train", "eval", "inference", "serve"],
                     default="train")
+    ap.add_argument("--host", default="0.0.0.0",
+                    help="serve: bind address")
+    ap.add_argument("--port", type=int, default=8080,
+                    help="serve: bind port (0 = ephemeral)")
+    ap.add_argument("--serve-max-batch", type=int, default=8,
+                    help="serve: device batch slots per dispatch")
+    ap.add_argument("--serve-nonblocking", action="store_true",
+                    help="serve: return (httpd, nav) instead of "
+                         "blocking (programmatic use / tests)")
     ap.add_argument("--trainer", default="SS-ETP",
                     choices=sorted(TRAINER_REGISTRY))
     ap.add_argument("--num-envs", type=int, default=0,
@@ -282,7 +296,17 @@ def run(args=None):
     np.random.seed(cfg.seed)
     logging.basicConfig(level=logging.INFO)
 
-    trainer = TRAINER_REGISTRY[args.trainer](cfg, args)
+    if args.run_type == "serve":
+        if args.trainer != "SS-ETP":
+            raise ValueError("serving exposes the SS-ETP policy; "
+                             f"--trainer {args.trainer} has no session "
+                             "surface")
+        # no envs: the service's clients own their simulators/cameras
+        from etpnav_tpu.training.finetune import FinetuneTrainer
+        trainer = FinetuneTrainer(cfg, None, ckpt_dir=args.ckpt_dir,
+                                  seed=cfg.seed)
+    else:
+        trainer = TRAINER_REGISTRY[args.trainer](cfg, args)
     if hasattr(trainer, "collect") and args.run_type == "inference":
         raise ValueError("the DAgger trainer has no leaderboard "
                          "inference mode; use --run-type train or eval")
@@ -291,7 +315,8 @@ def run(args=None):
         raise ValueError("this DAgger policy has no eval loop; "
                          "use DAGGER.policy=rec_vlnbert")
     ckpt = args.ckpt or (cfg.inference.ckpt_path
-                         if args.run_type == "inference" else None)
+                         if args.run_type in ("inference", "serve")
+                         else None)
     if ckpt:
         if not hasattr(trainer, "load_checkpoint"):
             raise ValueError(
@@ -318,6 +343,23 @@ def run(args=None):
     if args.gt_path:
         from etpnav_tpu.data.episodes import load_gt_paths
         gt_paths = load_gt_paths(args.gt_path)
+
+    if args.run_type == "serve":
+        from etpnav_tpu.serving import NavServer
+        from etpnav_tpu.serving_http import make_http_server, serve
+        nav = NavServer(cfg, trainer.agent,
+                        max_batch=args.serve_max_batch)
+        if args.serve_nonblocking:
+            import threading
+            httpd = make_http_server(nav, args.host, args.port)
+            threading.Thread(target=httpd.serve_forever,
+                             daemon=True).start()
+            logger.info("serving (nonblocking) on %s:%d",
+                        *httpd.server_address[:2])
+            return httpd, nav
+        logger.info("warming device programs, then serving on %s:%d",
+                    args.host, args.port)
+        return serve(nav, args.host, args.port)
 
     if args.run_type == "train":
         if hasattr(trainer, "train_steps"):   # pretrain

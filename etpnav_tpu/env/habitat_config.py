@@ -193,8 +193,46 @@ class EpisodeDataset:
         return out
 
     def get_episode_iterator(self, *args, **kwargs):
-        import itertools
-        return itertools.cycle(self.episodes)
+        """Honors the ITERATOR_OPTIONS habitat.Env forwards here:
+        cycle (default True), shuffle (default True — the reference
+        trains with habitat's shuffling EpisodeIterator), seed, and
+        group_by_scene (shuffle scene order but keep each scene's
+        episodes contiguous, minimizing scene loads). Other options
+        (max_scene_repeat_*) are scene-cache tuning and are ignored."""
+        import random
+
+        def opt(name, default):
+            v = kwargs.get(name, default)
+            return default if v is None else v
+
+        cycle = bool(opt("cycle", True))
+        shuffle = bool(opt("shuffle", True))
+        group = bool(opt("group_by_scene", True))
+        rng = random.Random(kwargs.get("seed"))
+
+        def epoch():
+            eps = list(self.episodes)
+            if shuffle and group:
+                by_scene = {}
+                for e in eps:
+                    by_scene.setdefault(e.scene_id, []).append(e)
+                scenes = list(by_scene)
+                rng.shuffle(scenes)
+                eps = []
+                for s in scenes:
+                    rng.shuffle(by_scene[s])
+                    eps.extend(by_scene[s])
+            elif shuffle:
+                rng.shuffle(eps)
+            return eps
+
+        def gen():
+            while True:
+                yield from epoch()
+                if not cycle:
+                    return
+
+        return gen()
 
 
 def episodes_to_habitat_dataset(episodes: Sequence[Episode]

@@ -99,7 +99,8 @@ class HabitatWorkerEnv:
                 getattr(instr, "instruction_tokens", []), np.int64),
             instruction_text=getattr(instr, "instruction_text", ""),
             start_position=np.asarray(ep.start_position),
-            start_heading=0.0,
+            start_heading=float(heading_from_quaternion(
+                np.asarray(ep.start_rotation, np.float64))),
             goal_position=np.asarray(ep.goals[0].position),
             reference_path=[np.asarray(p) for p in
                             getattr(ep, "reference_path", [])],
@@ -291,16 +292,27 @@ class HabitatWorkerEnv:
         primitive action toward it."""
         sim = self._sim()
         goal = self._env.current_episode.goals[0].position
-        try:
-            from habitat.tasks.nav.shortest_path_follower import (
-                ShortestPathFollower)
-            if not hasattr(self, "_follower"):
+        if not hasattr(self, "_follower"):
+            try:
+                from habitat.tasks.nav.shortest_path_follower import (
+                    ShortestPathFollower)
                 self._follower = ShortestPathFollower(
                     sim, goal_radius, return_one_hot=False)
-            a = self._follower.get_next_action(goal)
-            return 0 if a is None else int(a)
-        except Exception:
-            pass
+            except Exception as e:   # noqa: BLE001 — optional fast path
+                # cache the failure: retrying the import/construction per
+                # teacher query would add overhead to every DAgger step,
+                # and the ~50-sim-call probe fallback should be visible
+                self._follower = None
+                import logging
+                logging.getLogger("etpnav.habitat").warning(
+                    "ShortestPathFollower unavailable (%s); using the "
+                    "24-heading geodesic probe for teacher actions", e)
+        if self._follower is not None:
+            try:
+                a = self._follower.get_next_action(goal)
+                return 0 if a is None else int(a)
+            except Exception:   # noqa: BLE001 — per-query follower fault
+                pass
         init = self._state()
         if sim.geodesic_distance(init.position, goal) < goal_radius:
             return 0

@@ -106,8 +106,16 @@ class _Handler(BaseHTTPRequestHandler):
         self._reply(code, {"error": msg})
 
     def _body(self) -> Optional[bytes]:
-        n = int(self.headers.get("Content-Length", 0) or 0)
+        try:
+            n = int(self.headers.get("Content-Length", 0) or 0)
+        except ValueError:
+            self.close_connection = True   # body length unknown: resync
+            self._error(400, "malformed Content-Length")
+            return None
         if n > _MAX_BODY:
+            # the unread body would desync this keep-alive connection's
+            # next request line — drop the connection after replying
+            self.close_connection = True
             self._error(400, f"body too large ({n} bytes)")
             return None
         return self.rfile.read(n)
@@ -124,8 +132,15 @@ class _Handler(BaseHTTPRequestHandler):
         except TimeoutError as e:
             return self._error(504, str(e))
         except RuntimeError as e:
-            return self._error(503 if "shut down" in str(e) else 409,
-                               str(e))
+            # only NavServer's known session-protocol errors are client
+            # faults; any other RuntimeError (e.g. a JAX device failure)
+            # is a server fault and must surface as 500, not 409
+            msg = str(e)
+            if "shut down" in msg:
+                return self._error(503, msg)
+            if "already stopped" in msg or "already has a step" in msg:
+                return self._error(409, msg)
+            return self._error(500, f"RuntimeError: {msg}")
         except Exception as e:     # noqa: BLE001 — wire boundary
             return self._error(500, f"{type(e).__name__}: {e}")
         self._reply(code, payload)

@@ -370,7 +370,7 @@ def _framework_episodes():
                     instruction_tokens=np.arange(4) + i,
                     instruction_text=f"ep {i}",
                     start_position=np.zeros(3),
-                    start_heading=0.0,
+                    start_heading=0.25 * i,
                     goal_position=np.array([0.0, 0.0, -5.0]),
                     reference_path=[np.zeros(3),
                                     np.array([0.0, 0.0, -5.0])])
@@ -389,9 +389,48 @@ def test_worker_episode_injection(monkeypatch):
     assert cur.instruction_text == "ep 0"
     assert cur.instruction_tokens.tolist() == [0, 1, 2, 3]
     np.testing.assert_allclose(cur.goal_position, [0.0, 0.0, -5.0])
+    # start_heading is recovered from the episode's start_rotation, not
+    # hardcoded (heading_to_quat/heading_from_quaternion round-trip)
+    w2 = HabitatWorkerEnv(None, episodes=[eps[2]], seed=0)
+    assert abs(w2.current_episodes()[0].start_heading - 0.5) < 1e-9
     # empty injection is rejected loudly
     with pytest.raises(ValueError, match="no episodes"):
         HabitatWorkerEnv(None, episodes=[], seed=0)
+
+
+def test_episode_iterator_options():
+    """get_episode_iterator honors habitat's ITERATOR_OPTIONS (cycle /
+    shuffle / group_by_scene / seed) instead of silently replaying a
+    fixed order forever."""
+    import itertools
+
+    from etpnav_tpu.env.habitat_config import EpisodeDataset
+    ds = EpisodeDataset(_framework_episodes())
+    n = len(ds.episodes)
+
+    # cycle=False is finite and covers every episode exactly once
+    once = list(ds.get_episode_iterator(cycle=False, shuffle=False))
+    assert [e.episode_id for e in once] == sorted(
+        [e.episode_id for e in ds.episodes])
+    ordered = list(ds.get_episode_iterator(cycle=False, shuffle=False,
+                                           group_by_scene=False))
+    assert [e.episode_id for e in ordered] == [e.episode_id
+                                               for e in ds.episodes]
+
+    # shuffle reorders between epochs (deterministically under seed)
+    it = ds.get_episode_iterator(cycle=True, shuffle=True, seed=3)
+    epoch1 = [e.episode_id for e in itertools.islice(it, n)]
+    epoch2 = [e.episode_id for e in itertools.islice(it, n)]
+    assert sorted(epoch1) == sorted(epoch2)
+    it_b = ds.get_episode_iterator(cycle=True, shuffle=True, seed=3)
+    assert [e.episode_id for e in itertools.islice(it_b, n)] == epoch1
+
+    # group_by_scene keeps each scene's episodes contiguous
+    it = ds.get_episode_iterator(cycle=True, shuffle=True,
+                                 group_by_scene=True, seed=0)
+    scenes = [e.scene_id for e in itertools.islice(it, n)]
+    assert len([k for k, _ in itertools.groupby(scenes)]) == len(
+        set(scenes))
 
 
 def test_vector_pool_episode_sharding(monkeypatch):

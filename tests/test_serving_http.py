@@ -137,6 +137,42 @@ def test_http_error_mapping(http_stack):
     client.close_session(sid)
 
 
+def test_http_internal_error_is_500_and_bad_length_is_400(http_stack):
+    """Unknown RuntimeErrors are server faults (500), not session
+    conflicts (409); a malformed Content-Length gets a clean 400 instead
+    of a dropped connection."""
+    import socket
+
+    url, cfg = http_stack
+    client = HttpNavClient(url)
+
+    env = _make_env(cfg, 31)
+    obs = env.reset()[0]
+    sid = client.create_session(obs["instruction"])
+    # make the very next step() blow up with a non-protocol RuntimeError
+    import etpnav_tpu.serving_http as sh
+    orig_step = sh.NavServer.step
+    sh.NavServer.step = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("XLA device lost"))
+    try:
+        with pytest.raises(HttpNavError) as e:
+            pos, ori = env.get_pos_ori()
+            client.step(sid, obs["rgb"], obs["depth"], pos[0], ori[0])
+        assert e.value.code == 500
+        assert "XLA device lost" in e.value.detail
+    finally:
+        sh.NavServer.step = orig_step
+    client.close_session(sid)
+
+    host, port = url.replace("http://", "").split(":")
+    with socket.create_connection((host, int(port)), timeout=30) as s:
+        s.sendall(b"POST /sessions HTTP/1.1\r\n"
+                  b"Host: x\r\nContent-Length: abc\r\n\r\n")
+        reply = s.recv(4096).decode()
+    assert reply.startswith("HTTP/1.1 400"), reply
+    assert "Content-Length" in reply
+
+
 def test_cli_serve_end_to_end(tmp_path):
     """--run-type serve builds the SS-ETP policy without envs, binds the
     gateway, and serves a full episode over the wire."""

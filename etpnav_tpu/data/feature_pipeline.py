@@ -28,20 +28,37 @@ DISCRETE_VIEWS_12 = [(math.radians(h), 0.0) for h in range(0, 360, 30)]
 
 
 def load_connectivity(connectivity_dir: str, scan: str) -> Dict[str, dict]:
-    """MP3D connectivity JSON -> viewpoint_id -> {position, visible...}
-    (the pose source save_img.py walks via MatterSim)."""
+    """MP3D connectivity JSON -> viewpoint_id -> {position, neighbors...}
+    (the pose source save_img.py walks via MatterSim).
+
+    The JSON's ``unobstructed`` booleans index the RAW FILE ORDER of the
+    scan's entries — including excluded ones (reference
+    pretrain_src/data/common.py:87-94 indexes ``data[j]``). Because this
+    loader drops excluded entries (and callers may re-sort keys), raw
+    indices are resolved to image_ids here: ``neighbors`` lists the
+    included image_ids reachable from each viewpoint. The raw
+    ``unobstructed`` list is kept verbatim for completeness; never index
+    it into a filtered/sorted id list."""
     path = os.path.join(connectivity_dir, f"{scan}_connectivity.json")
     with open(path) as f:
         data = json.load(f)
+    raw_ids = [e["image_id"] for e in data]
+    included = {e["image_id"] for e in data if e.get("included", True)}
     out = {}
     for entry in data:
-        if not entry.get("included", True):
+        if entry["image_id"] not in included:
             continue
+        unob = entry.get("unobstructed", [])
+        neighbors = [raw_ids[j] for j, ok in enumerate(unob)
+                     if ok and j < len(raw_ids)
+                     and raw_ids[j] in included
+                     and raw_ids[j] != entry["image_id"]]
         # 4x4 row-major habitat-style pose matrix; translation in col 3
         m = np.asarray(entry["pose"], np.float64).reshape(4, 4)
         out[entry["image_id"]] = {
             "position": m[:3, 3],
-            "unobstructed": entry.get("unobstructed", []),
+            "neighbors": neighbors,
+            "unobstructed": unob,
             "height": entry.get("height", 1.5),
         }
     return out
@@ -142,6 +159,12 @@ def extract_scan_features(scan: str, render_fn: Callable,
                 r, d = render_fn(scan, vp, views)
                 rgb.append(r)
                 dep.append(d)
+            # pad the final partial chunk to the extractor's batch size:
+            # a smaller B would compile a second device program (~40 s on
+            # TPU) per distinct remainder across the dataset
+            while len(rgb) < bp:
+                rgb.append(rgb[-1])
+                dep.append(dep[-1])
             rgb_f, dep_f = extractor(np.stack(rgb), np.stack(dep))
             for j, vp in enumerate(chunk):
                 key = f"{scan}_{vp}"

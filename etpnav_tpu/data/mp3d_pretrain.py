@@ -41,12 +41,15 @@ class ScanGraph:
         np.fill_diagonal(dist, 0.0)
         self.adj: List[List[int]] = [[] for _ in range(n)]
         for i, vp in enumerate(self.vp_ids):
-            unob = conn[vp]["unobstructed"]
-            for j, ok in enumerate(unob):
-                if ok and j < n and j != i:
-                    d = float(np.linalg.norm(self.pos[i] - self.pos[j]))
-                    dist[i, j] = min(dist[i, j], d)
-                    self.adj[i].append(j)
+            # neighbors are image_ids resolved from the raw-file-order
+            # unobstructed indices by load_connectivity — indexing the
+            # raw booleans into these sorted/filtered ids would scramble
+            # the graph (common.py:87-94 semantics)
+            for nb in conn[vp]["neighbors"]:
+                j = self.index[nb]
+                d = float(np.linalg.norm(self.pos[i] - self.pos[j]))
+                dist[i, j] = min(dist[i, j], d)
+                self.adj[i].append(j)
         hops = np.where(dist < 1e8, 1, 10**6).astype(np.int64)
         np.fill_diagonal(hops, 0)
         for k in range(n):
@@ -216,7 +219,14 @@ class MP3DTrajectoryData:
             path = full_path[:end_idx + 1]
             end_is_goal = False
             gt_next = full_path[end_idx + 1]
-        path = path[:sh.max_traj_steps]
+        if len(path) > sh.max_traj_steps:
+            # truncation moves the endpoint: the next-step supervision is
+            # the node right after the cut (NOT the pre-cut gt_next, which
+            # is unrelated to the truncated endpoint), and the truncated
+            # end is no longer the goal
+            path = path[:sh.max_traj_steps]
+            end_is_goal = False
+            gt_next = full_path[sh.max_traj_steps]
         if gt_next in path:
             gt_next = None
 

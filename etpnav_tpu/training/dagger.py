@@ -163,29 +163,36 @@ class DaggerTrainer:
             state = cma.initial_state(self.cfg, B)
             trajs = [dict(tokens=tokens[i], rgb=[], dep=[], teacher=[])
                      for i in range(B)]
-            live = list(range(B))
+            # static shapes (CLAUDE.md invariant): the device batch stays
+            # at B for the whole interval. Finished envs keep their last
+            # observation as a padding row (recurrent rows are
+            # per-sample-independent, so live rows are unaffected) —
+            # shrinking the batch per done env would compile one program
+            # per distinct live-count (~40 s each on TPU).
+            live = list(range(B))            # global env id per live slot
+            obs_full = list(obs)             # last obs per GLOBAL env
 
             for _ in range(self.dcfg.max_steps):
-                n = envs.num_envs
-                rgb_f, dep_f = self.feature_fn(obs)
-                teach = np.array([envs.shortest_path_action(i)
-                                  for i in range(n)])
+                rgb_f, dep_f = self.feature_fn(obs_full)       # (B, D)
+                teach_full = np.zeros(B, np.int64)
+                for i, g in enumerate(live):
+                    teach_full[g] = envs.shortest_path_action(i)
                 logits, state = self._jit_step(
-                    self.params, instr_feats=instr[np.asarray(live)],
-                    instr_mask=imask[np.asarray(live)],
+                    self.params, instr_feats=instr, instr_mask=imask,
                     rgb_feat=jnp.asarray(rgb_f),
                     dep_feat=jnp.asarray(dep_f), state=state)
                 probs = np.asarray(jax.nn.softmax(logits, -1))
-                acts = np.where(
-                    self.rng.random(n) < beta, teach,
-                    np.array([self.rng.choice(4, p=probs[i])
-                              for i in range(n)]))
-                for i in range(n):
-                    t = trajs[live[i]]
-                    t["rgb"].append(rgb_f[i])
-                    t["dep"].append(dep_f[i])
-                    t["teacher"].append(int(teach[i]))
-                results = envs.step_low_level(list(acts))
+                acts_full = np.where(
+                    self.rng.random(B) < beta, teach_full,
+                    np.array([self.rng.choice(4, p=probs[g])
+                              for g in range(B)]))
+                for g in live:
+                    t = trajs[g]
+                    t["rgb"].append(rgb_f[g])
+                    t["dep"].append(dep_f[g])
+                    t["teacher"].append(int(teach_full[g]))
+                results = envs.step_low_level(
+                    [int(acts_full[g]) for g in live])
                 done_local = [i for i, r in enumerate(results) if r.done]
                 for i in done_local:
                     if results[i].info.get("crashed"):
@@ -196,10 +203,10 @@ class DaggerTrainer:
                     envs.pause_at(i)
                     live.pop(i)
                     results.pop(i)
-                    state = jnp.delete(state, i, axis=0)
                 if envs.num_envs == 0:
                     break
-                obs = [r.observation for r in results]
+                for i, r in enumerate(results):
+                    obs_full[live[i]] = r.observation
 
             for t in trajs:
                 if t["rgb"] and not t.get("crashed"):
@@ -379,31 +386,41 @@ class RecVLNBertDagger:
                 mask=jnp.asarray(lmask))
             trajs = [dict(tokens=tokens[i], rgb=[], dep=[], ang=[],
                           cmask=[], teacher=[]) for i in range(B)]
-            live = list(range(B))
+            # static shapes (CLAUDE.md invariant): candidate extraction
+            # and nav step run at fixed B the whole interval; finished
+            # envs keep their last observation as a padding row.
+            # Teacher/env queries are live-only (the pool reindexes
+            # after pause_at).
+            live = list(range(B))            # global env id per live slot
+            obs_full = list(obs)             # last obs per GLOBAL env
 
             for _ in range(self.dcfg.max_steps):
-                n = envs.num_envs
-                cand = self.candidate_fn(obs)
+                cand = self.candidate_fn(obs_full)             # (B, ...)
                 rgb, dep, ang, cmask = self._assemble_slots(cand)
-                teach, cand_pos = self._teacher(cand)
-                idx = np.asarray(live)
+                cand_live = {
+                    k: (v[np.asarray(live)] if isinstance(v, np.ndarray)
+                        else [v[g] for g in live])
+                    for k, v in cand.items()}
+                teach_live, cand_pos = self._teacher(cand_live)
                 logits, state = self._jit_nav(
                     self.params, state=state,
-                    lang_feats=feats[idx], lang_mask=jnp.asarray(lmask)[idx],
+                    lang_feats=feats, lang_mask=jnp.asarray(lmask),
                     cand_rgb=jnp.asarray(rgb, jnp.float32),
                     cand_depth=jnp.asarray(dep, jnp.float32),
                     cand_dir=jnp.asarray(ang, jnp.float32),
                     cand_mask=jnp.asarray(cmask))
                 policy_act = np.asarray(jnp.argmax(logits, -1))
-                acts = np.where(self.rng.random(n) < beta, teach,
-                                policy_act)
-                for i in range(n):
-                    t = trajs[live[i]]
-                    t["rgb"].append(rgb[i])
-                    t["dep"].append(dep[i])
-                    t["ang"].append(ang[i])
-                    t["cmask"].append(cmask[i])
-                    t["teacher"].append(int(teach[i]))
+                mix = self.rng.random(B) < beta
+                acts = [int(teach_live[i]) if mix[g]
+                        else int(policy_act[g])
+                        for i, g in enumerate(live)]
+                for i, g in enumerate(live):
+                    t = trajs[g]
+                    t["rgb"].append(rgb[g])
+                    t["dep"].append(dep[g])
+                    t["ang"].append(ang[g])
+                    t["cmask"].append(cmask[g])
+                    t["teacher"].append(int(teach_live[i]))
                 pos, _ = envs.get_pos_ori()
                 env_actions = [
                     self._env_action(a, pos[i],
@@ -420,10 +437,10 @@ class RecVLNBertDagger:
                     envs.pause_at(i)
                     live.pop(i)
                     results.pop(i)
-                    state = jnp.delete(state, i, axis=0)
                 if envs.num_envs == 0:
                     break
-                obs = [r.observation for r in results]
+                for i, r in enumerate(results):
+                    obs_full[live[i]] = r.observation
 
             for t in trajs:
                 if t["teacher"] and not t.get("crashed"):
@@ -519,21 +536,23 @@ class RecVLNBertDagger:
             state, feats = self._jit_lang(
                 self.params, tokens=jnp.asarray(tokens),
                 mask=jnp.asarray(lmask))
+            # static shapes: fixed-B nav program, finished envs ride as
+            # padding rows on their last observation (same pattern as
+            # collect above)
             live = list(range(B))
+            obs_full = list(obs)
             for stepk in range(self.dcfg.max_steps):
-                n = envs.num_envs
-                cand = self.candidate_fn(obs)
+                cand = self.candidate_fn(obs_full)             # (B, ...)
                 rgb, dep, ang, cmask = self._assemble_slots(cand)
-                idx = np.asarray(live)
                 logits, state = self._jit_nav(
                     self.params, state=state,
-                    lang_feats=feats[idx],
-                    lang_mask=jnp.asarray(lmask)[idx],
+                    lang_feats=feats, lang_mask=jnp.asarray(lmask),
                     cand_rgb=jnp.asarray(rgb, jnp.float32),
                     cand_depth=jnp.asarray(dep, jnp.float32),
                     cand_dir=jnp.asarray(ang, jnp.float32),
                     cand_mask=jnp.asarray(cmask))
-                acts = np.asarray(jnp.argmax(logits, -1))
+                # np.array (copy): np.asarray of a jax array is read-only
+                acts = np.array(jnp.argmax(logits, -1))
                 if stepk == self.dcfg.max_steps - 1:
                     # forced stop at the step cap so every episode is
                     # SCORED, not silently dropped (the main eval
@@ -542,13 +561,14 @@ class RecVLNBertDagger:
                 # simulate only the CHOSEN candidate per moving env (the
                 # teacher needs all endpoints; greedy eval does not)
                 pos, _ = envs.get_pos_ori()
-                env_actions = [
-                    self._env_action(
+                env_actions = []
+                for i, g in enumerate(live):
+                    a = int(acts[g])
+                    env_actions.append(self._env_action(
                         a, pos[i],
                         envs.cand_real_pos(
-                            i, [cand["angles"][i][a - 1]],
-                            [cand["dists"][i][a - 1]])[0] if a else None)
-                    for i, a in enumerate(acts)]
+                            i, [cand["angles"][g][a - 1]],
+                            [cand["dists"][g][a - 1]])[0] if a else None))
                 results = envs.step(env_actions)
                 done_local = [i for i, r in enumerate(results) if r.done]
                 for i in done_local:
@@ -566,10 +586,10 @@ class RecVLNBertDagger:
                     envs.pause_at(i)
                     live.pop(i)
                     results.pop(i)
-                    state = jnp.delete(state, i, axis=0)
                 if envs.num_envs == 0:
                     break
-                obs = [r.observation for r in results]
+                for i, r in enumerate(results):
+                    obs_full[live[i]] = r.observation
         return aggregate(stats)
 
 
@@ -590,16 +610,18 @@ class TeacherRecollectionSampler:
             B = self.envs.num_envs
             trajs = [dict(tokens=o["instruction"], rgb=[], dep=[],
                           teacher=[]) for o in obs]
+            # static shapes: feature extraction stays at fixed B (see the
+            # collect loops above); finished envs ride as padding rows
             live = list(range(B))
+            obs_full = list(obs)
             for _ in range(self.max_steps):
-                n = self.envs.num_envs
-                rgb_f, dep_f = self.feature_fn(obs)
+                rgb_f, dep_f = self.feature_fn(obs_full)       # (B, D)
                 teach = [self.envs.shortest_path_action(i)
-                         for i in range(n)]
-                for i in range(n):
-                    t = trajs[live[i]]
-                    t["rgb"].append(rgb_f[i])
-                    t["dep"].append(dep_f[i])
+                         for i in range(self.envs.num_envs)]
+                for i, g in enumerate(live):
+                    t = trajs[g]
+                    t["rgb"].append(rgb_f[g])
+                    t["dep"].append(dep_f[g])
                     t["teacher"].append(teach[i])
                 results = self.envs.step_low_level(teach)
                 done = [i for i, r in enumerate(results) if r.done]
@@ -609,7 +631,8 @@ class TeacherRecollectionSampler:
                     results.pop(i)
                 if self.envs.num_envs == 0:
                     break
-                obs = [r.observation for r in results]
+                for i, r in enumerate(results):
+                    obs_full[live[i]] = r.observation
             for t in trajs:
                 if t["rgb"]:
                     yield {

@@ -145,6 +145,12 @@ def test_update_single_compiled_shape(tmp_path):
     loss = trainer.update()                # 2 epochs x (2+1) episodes
     assert np.isfinite(loss)
     assert trainer._jit_update._cache_size() == 1
+    # collect must also run ONE compiled nav shape: envs finishing at
+    # different steps ride as padding rows, the batch never shrinks
+    assert trainer._jit_nav._cache_size() == 1
+    # greedy eval shares the fixed-B program discipline
+    trainer.evaluate(3, success_distance=3.0)
+    assert trainer._jit_nav._cache_size() == 1
 
 
 def test_update_learns_teacher(envs, tmp_path):

@@ -33,6 +33,44 @@ def _write_connectivity(tmp_path, scan="scanA", n=3):
     return str(tmp_path)
 
 
+def test_connectivity_unobstructed_indexes_raw_file_order(tmp_path):
+    """MP3D unobstructed booleans index RAW file order (incl. excluded
+    entries), like the reference common.py:87-94 — resolving them into a
+    sorted/filtered id list scrambles the graph."""
+    entries = [
+        # file order: vpB, excluded, vpA — sorted order differs and the
+        # excluded entry shifts raw indices
+        {"image_id": "vpB", "included": True,
+         "unobstructed": [False, True, True],
+         "pose": _pose_at([1.0, 0, 0]), "height": 1.5},
+        {"image_id": "excl", "included": False,
+         "unobstructed": [True, False, True],
+         "pose": _pose_at([9.0, 0, 9.0]), "height": 1.5},
+        {"image_id": "vpA", "included": True,
+         "unobstructed": [True, True, False],
+         "pose": _pose_at([0.0, 0, 0]), "height": 1.5},
+    ]
+    (tmp_path / "scanX_connectivity.json").write_text(json.dumps(entries))
+    conn = load_connectivity(str(tmp_path), "scanX")
+    assert set(conn) == {"vpA", "vpB"}
+    # vpB's raw row: [self, excluded, vpA] -> only vpA survives
+    assert conn["vpB"]["neighbors"] == ["vpA"]
+    assert conn["vpA"]["neighbors"] == ["vpB"]
+
+    from etpnav_tpu.data.mp3d_pretrain import ScanGraph
+    g = ScanGraph(str(tmp_path), "scanX")
+    a, b = g.index["vpA"], g.index["vpB"]
+    assert g.adj[a] == [b] and g.adj[b] == [a]
+    np.testing.assert_allclose(g.dist[a, b], 1.0)
+    assert g.hops[a, b] == 1
+
+
+def _pose_at(p):
+    pose = np.eye(4)
+    pose[:3, 3] = p
+    return pose.flatten().tolist()
+
+
 def test_pose_walk(tmp_path):
     cdir = _write_connectivity(tmp_path)
     conn = load_connectivity(cdir, "scanA")

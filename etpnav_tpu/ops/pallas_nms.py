@@ -70,18 +70,27 @@ def fused_heatmap_nms(heatmap_logits: jax.Array, max_predictions: int,
     wrapped = jnp.concatenate([prob[:, A - 1:A], prob, prob[:, 0:1]],
                               axis=1)                 # (B, H, D)
     H = A + 2
-    blk = max(block_b, 1)
-    while blk > 1 and B % blk:
+    # Mosaic requires the sublane (second-to-last) block dim divisible
+    # by 8 or equal to the array dim: pad the batch up to a multiple of
+    # the block (zero rows NMS to zeros; sliced off below). Without this,
+    # any batch not blockable by 8 — e.g. 7 live envs after one episode
+    # finishes — fails to lower.
+    blk = max(block_b, 8)
+    while blk > 8 and B % blk:
         blk //= 2
+    Bp = -(-B // blk) * blk
+    flat = wrapped.reshape(B, H * D)
+    if Bp != B:
+        flat = jnp.pad(flat, ((0, Bp - B), (0, 0)))
     out = pl.pallas_call(
         functools.partial(_nms_kernel, max_predictions=max_predictions,
                           sigma=tuple(sigma), H=H, W=D),
-        grid=(B // blk,),
+        grid=(Bp // blk,),
         in_specs=[pl.BlockSpec((blk, H * D), lambda b: (b, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((blk, H * D), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H * D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Bp, H * D), jnp.float32),
         interpret=interpret,
-    )(wrapped.reshape(B, H * D))
-    return out.reshape(B, H, D)
+    )(flat)
+    return out[:B].reshape(B, H, D)

@@ -258,8 +258,18 @@ class NavServer:
 
     def close_session(self, sid: int) -> dict:
         with self._lock:
-            ses = self._sessions.pop(sid)
-        return {"steps": ses.stepk, "history": ses.history}
+            if sid not in self._sessions:
+                raise KeyError(f"unknown session {sid}")
+            ses = self._sessions[sid]
+            if ses.in_flight:
+                # closing under a blocked step would hand the caller a
+                # history the batcher is still appending to
+                raise RuntimeError(
+                    f"session {sid} already has a step in flight")
+            del self._sessions[sid]
+        # copy: the session object may still be referenced by telemetry;
+        # the returned record must be final
+        return {"steps": ses.stepk, "history": list(ses.history)}
 
     def shutdown(self):
         self._stop.set()

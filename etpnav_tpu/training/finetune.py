@@ -130,9 +130,13 @@ def compute_il_loss(planner_params: dict, cfg: ExperimentConfig,
     return cfg.il.ml_weight * loss_sum / total_actions
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tx"))
+@functools.partial(jax.jit, static_argnames=("cfg", "tx"),
+                   donate_argnames=("planner_params", "opt_state"))
 def learn_step(planner_params: dict, opt_state, cfg: ExperimentConfig,
                tx, batch: dict, rng: jax.Array):
+    """The old params + Adam moments are dead after the update — donating
+    them halves the step's extra device residency (pretrain_step already
+    donates; on CPU donation is a no-op)."""
     loss, grads = jax.value_and_grad(compute_il_loss)(
         planner_params, cfg, batch, rng)
     updates, opt_state = tx.update(grads, opt_state, planner_params)
@@ -339,4 +343,14 @@ class FinetuneTrainer:
         self.params = AgentParams(**state["params"])
         self.opt_state = state["opt_state"]
         self.iteration = int(state["iteration"])
+        if self.mesh is not None:
+            # restore the SPMD layout __init__ established: orbax hands
+            # back host arrays, and committing them unsharded would
+            # silently replace the tensor-parallel layout with full
+            # replicas (and recompile the learn step against it)
+            from etpnav_tpu.parallel import mesh as meshlib
+            self.params = self.params._replace(
+                planner=meshlib.shard_params(self.mesh,
+                                             self.params.planner))
+            self.opt_state = jax.device_put(self.opt_state)
         self._refresh_agent()

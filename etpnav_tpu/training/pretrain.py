@@ -14,6 +14,7 @@ fp32 params/optimizer; no GradScaler needed.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Dict, Optional
 
 import jax
@@ -30,6 +31,8 @@ from etpnav_tpu.data.pretrain_data import (
 from etpnav_tpu.models import planner
 from etpnav_tpu.ops.basic import mask_to_bias
 from etpnav_tpu.parallel import mesh as meshlib
+
+logger = logging.getLogger("etpnav_tpu.pretrain")
 
 
 def init_pretrain_params(key: jax.Array, cfg: PlannerConfig,
@@ -192,10 +195,10 @@ def forward_mrc(params: dict, cfg: PlannerConfig, batch: dict,
                                vp_embeds[:, 1:], cfg.vis_layer_norm_eps)
 
 
-def mrc_loss(params, cfg: PlannerConfig, batch, rng) -> jax.Array:
-    """KL(soft CLIP labels || predicted) over masked view tokens
-    (pretrain_cmt.py:210-214)."""
-    logits = forward_mrc(params, cfg, batch, rng, train=True)
+def _masked_kl(logits: jax.Array, batch: dict) -> jax.Array:
+    """KL(soft CLIP labels || predicted) averaged over masked view
+    tokens — shared by mrc_loss and validation so the reported metric is
+    exactly the trained objective."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     target = batch["vp_view_probs"]
     # F.kl_div(logp, p).sum(-1) = sum p*(log p - logp); 0*log0 := 0
@@ -204,6 +207,12 @@ def mrc_loss(params, cfg: PlannerConfig, batch, rng) -> jax.Array:
     kl = (plogp - target * logp).sum(-1)                    # (B, P)
     m = batch["vp_view_mrc_masks"]
     return jnp.where(m, kl, 0.0).sum() / jnp.maximum(m.sum(), 1)
+
+
+def mrc_loss(params, cfg: PlannerConfig, batch, rng) -> jax.Array:
+    """KL over masked view tokens (pretrain_cmt.py:210-214)."""
+    return _masked_kl(forward_mrc(params, cfg, batch, rng, train=True),
+                      batch)
 
 
 def forward_og(params: dict, cfg: PlannerConfig, batch: dict,
@@ -396,6 +405,7 @@ class PretrainTrainer:
         ModelSaver)."""
         pt = self.cfg.pretrain
         losses = {t: [] for t in pt.tasks}
+        out: Dict[str, float] = {}
         for _ in range(n):
             task, batch = next(self.meta)
             self.rng, sub = jax.random.split(self.rng)
@@ -405,11 +415,16 @@ class PretrainTrainer:
             losses[task].append(float(loss))
             self.step += 1
             if ckpt_dir and self.step % pt.valid_steps == 0:
-                self.validate(n_batches=1)
+                # log + return validation like the reference's periodic
+                # validate_mlm/validate_sap (train_r2r.py:319-324,355-444)
+                val = self.validate(n_batches=1)
+                logger.info("step %d validation: %s", self.step, val)
+                out.update({f"val_{k}": v for k, v in val.items()})
                 self.save_checkpoint(
                     f"{ckpt_dir}/model_step_{self.step}")
-        return {f"{k}_loss": float(np.mean(v)) for k, v in losses.items()
-                if v}
+        out.update({f"{k}_loss": float(np.mean(v))
+                    for k, v in losses.items() if v})
+        return out
 
     # ---- checkpointing (ModelSaver, pretrain utils/save.py:23-45) ----
 
@@ -475,17 +490,9 @@ class PretrainTrainer:
                 if "mrc" in tasks:
                     batch = self._put(self.sampler.sample_batch(
                         self.cfg.pretrain.batch_size, "mrc"))
-                    logits = forward_mrc(self.params, self.cfg.planner,
-                                         batch)
-                    logp = jax.nn.log_softmax(logits, axis=-1)
-                    target = batch["vp_view_probs"]
-                    plogp = jnp.where(target > 0, target * jnp.log(
-                        jnp.maximum(target, 1e-12)), 0.0)
-                    kl = (plogp - target * logp).sum(-1)
-                    m = batch["vp_view_mrc_masks"]
-                    mrc_kl.append(float(
-                        jnp.where(m, kl, 0.0).sum()
-                        / jnp.maximum(m.sum(), 1)))
+                    mrc_kl.append(float(_masked_kl(
+                        forward_mrc(self.params, self.cfg.planner, batch),
+                        batch)))
                 if "og" in tasks:
                     batch = self.sampler.sample_batch(
                         self.cfg.pretrain.batch_size, "og")

@@ -95,31 +95,31 @@ class RolloutEngine:
         envs = self.envs
         envs.resume_all()
         obs_list = envs.reset()
-        B0 = envs.num_envs
-        episodes = envs.current_episodes()
-
-        if mode == "eval" and stat_eps is not None:
-            to_pause = [i for i, ep in enumerate(episodes)
-                        if ep.episode_id in stat_eps]
-            for i in reversed(to_pause):
-                envs.pause_at(i)
-            if envs.num_envs == 0:
-                return None
-            obs_list = [o for i, o in enumerate(obs_list)
-                        if i not in to_pause]
-            episodes = envs.current_episodes()
-        if mode == "infer" and path_eps is not None:
-            to_pause = [i for i, ep in enumerate(episodes)
-                        if ep.episode_id in path_eps]
-            for i in reversed(to_pause):
-                envs.pause_at(i)
-            if envs.num_envs == 0:
-                return None
-            obs_list = [o for i, o in enumerate(obs_list)
-                        if i not in to_pause]
-            episodes = envs.current_episodes()
-
+        # STATIC SHAPES (CLAUDE.md invariant): every device program in
+        # this loop runs at the full pool size B for the whole interval —
+        # pre-paused (already-evaluated) and finished envs ride along as
+        # padding rows on their last observation / a masked zero graph.
+        # Shrinking the batch per done env would (a) compile one program
+        # per distinct live-count (~40 s each on TPU, per gmap bucket)
+        # and (b) feed the fused NMS kernel batches Mosaic cannot block
+        # (observed hard failure at 7 live envs). Rows are per-sample
+        # independent, so live rows are bit-identical either way.
         B = envs.num_envs
+        episodes = envs.current_episodes()         # global, length B
+        live = list(range(B))          # original env-slot index per live env
+
+        seen = (stat_eps if mode == "eval" and stat_eps is not None
+                else path_eps if mode == "infer" and path_eps is not None
+                else None)
+        if seen is not None:
+            to_pause = [i for i, ep in enumerate(episodes)
+                        if ep.episode_id in seen]
+            for i in reversed(to_pause):
+                envs.pause_at(i)
+                live.remove(i)
+            if envs.num_envs == 0:
+                return None
+        obs_full = list(obs_list)                  # last obs per GLOBAL env
         L = il.max_text_len
         T = il.max_traj_len
         P = cfg.waypoint.max_predictions + 12
@@ -170,14 +170,13 @@ class RolloutEngine:
         # per-env ghost real positions for the teacher (gid -> [pos])
         ghost_real: List[Dict[int, list]] = [dict() for _ in range(B)]
         prev_node = [None] * B
-        live = list(range(B))          # original env-slot index per live env
 
         for stepk in range(T):
-            n = envs.num_envs
             # native parallel gather (io_core) — with shm observation
-            # views this is the only host copy between sim and device
-            rgb = native.stack_arrays([o["rgb"] for o in obs_list])
-            depth = native.stack_arrays([o["depth"] for o in obs_list])
+            # views this is the only host copy between sim and device.
+            # Full pool: padding rows re-encode their last observation.
+            rgb = native.stack_arrays([o["rgb"] for o in obs_full])
+            depth = native.stack_arrays([o["depth"] for o in obs_full])
 
             # ---- fused waypoint + pano perception (ONE device dispatch) --
             sample_rng = self._next_rng() if (train and il.waypoint_aug) \
@@ -192,31 +191,30 @@ class RolloutEngine:
 
             pos, ori = envs.get_pos_ori()
 
-            # ---- update topological maps (host) ----
+            # ---- update topological maps (host, live envs only) ----
             K = cfg.waypoint.max_predictions
             cand_ad = []
-            for i in range(n):
-                valid = wp_h["cand_valid"][i]
-                cand_ad.append((wp_h["cand_angles"][i][valid],
-                                wp_h["cand_distances"][i][valid]))
+            for gi in live:
+                valid = wp_h["cand_valid"][gi]
+                cand_ad.append((wp_h["cand_angles"][gi][valid],
+                                wp_h["cand_distances"][gi][valid]))
             batch_real_pos = None
             if train and hasattr(envs, "cand_real_pos_batch"):
                 # one oracle fan-out for all envs (vs per-env round trips)
                 batch_real_pos = envs.cand_real_pos_batch(
                     [a for a, _ in cand_ad], [d for _, d in cand_ad])
-            for i in range(n):
-                gi = live[i]
-                valid = wp_h["cand_valid"][i]
+            for i, gi in enumerate(live):
+                valid = wp_h["cand_valid"][gi]
                 angles, dists = cand_ad[i]
                 tok_idx = np.flatnonzero(valid)      # cand slot == token idx
-                cand_embeds = pano_embeds[i][tok_idx]
+                cand_embeds = pano_embeds[gi][tok_idx]
                 real_pos = None
                 if train:
                     real_pos = (batch_real_pos[i]
                                 if batch_real_pos is not None
                                 else envs.cand_real_pos(i, angles, dists))
                 cur = gmaps[gi].update(
-                    prev_node[gi], stepk + 1, pos[i], ori[i], avg_pano[i],
+                    prev_node[gi], stepk + 1, pos[i], ori[i], avg_pano[gi],
                     angles, dists, cand_embeds, tok_idx, stepk,
                     cand_real_pos=real_pos)
                 if train and real_pos is not None:
@@ -238,60 +236,61 @@ class RolloutEngine:
             # emit at G: the learn-phase record is one fixed-shape tensor)
             G_step = G
             if not train and cfg.planner.gmap_len_buckets:
-                need = max(1 + gmaps[live[i]].num_nodes
-                           + len(gmaps[live[i]].ghosts) for i in range(n))
+                need = max(1 + gmaps[gi].num_nodes
+                           + len(gmaps[gi].ghosts) for gi in live)
                 fits = [b for b in cfg.planner.gmap_len_buckets
                         if need <= b < G]
                 G_step = min(fits) if fits else G
             emits = []
-            for i in range(n):
-                gi = live[i]
+            for i, gi in enumerate(live):
                 cur = prev_node[gi]
                 emits.append(gmaps[gi].emit(cur, pos[i], ori[i], G_step,
                                             Dh))
-            gmap_batch = {
-                "img_fts": np.stack([e["img_fts"] for e in emits]),
-                "step_ids": np.stack([e["step_ids"] for e in emits]),
-                "pos_fts": np.stack([e["pos_fts"] for e in emits]),
-                "mask": np.stack([e["mask"] for e in emits]),
-                "visited": np.stack([e["visited"] for e in emits]),
-                "pair_dists": np.stack([e["pair_dists"] for e in emits]),
-            }
-            # txt embeddings for live envs (original slot order)
-            txt_e = txt_embeds_all[np.asarray(live)]
-            txt_m = txt_masks[np.asarray(live)]
+            # full-pool batch: dead rows are zero graphs with one valid
+            # slot so the masked softmax stays finite (serving.py pattern)
+            gmap_batch = {}
+            for key in ("img_fts", "step_ids", "pos_fts", "mask",
+                        "visited", "pair_dists"):
+                full = np.zeros((B,) + emits[0][key].shape,
+                                emits[0][key].dtype)
+                for i, gi in enumerate(live):
+                    full[gi] = emits[i][key]
+                gmap_batch[key] = full
+            dead = [gi for gi in range(B) if gi not in live]
+            if dead:
+                gmap_batch["mask"][np.asarray(dead), 0] = True
+            txt_e = txt_embeds_all
+            txt_m = txt_masks
             nav = self.agent.score_navigation(txt_e, txt_m, gmap_batch)
             logits = np.asarray(nav["global_logits"], np.float32)
             probs = _softmax(logits)
 
             # store stop score of current node (ss_trainer_ETP.py:881-882)
-            for i in range(n):
-                gi = live[i]
+            for gi in live:
                 gmaps[gi].node_stop_scores[prev_node[gi]] = float(
-                    probs[i, 0])
+                    probs[gi, 0])
 
-            # ---- teacher actions ----
+            # ---- teacher actions (live envs) ----
+            n = len(live)
             teacher = np.full(n, -100, np.int32)
             if train:
                 cur_dist = envs.current_dist_to_goal()
-                for i in range(n):
-                    gi = live[i]
+                for i, gi in enumerate(live):
                     teacher[i] = self._teacher_action(
                         i, gi, gmaps[gi], emits[i], cur_dist[i],
-                        ghost_real[gi], episodes[i], gt_paths)
+                        ghost_real[gi], episodes[gi], gt_paths)
 
             # ---- record ----
             if train:
-                for i in range(n):
-                    gi = live[i]
+                for i, gi in enumerate(live):
                     rec.step_valid[gi, stepk] = True
                     rec.teacher[gi, stepk] = teacher[i]
-                    rec.logits[gi, stepk] = logits[i]
-                    rec.vp_rgb[gi, stepk] = wp_h["rgb_fts"][i]
-                    rec.vp_dep[gi, stepk] = wp_h["dep_fts"][i]
-                    rec.vp_loc[gi, stepk] = wp_h["loc_fts"][i]
-                    rec.vp_nav[gi, stepk] = wp_h["nav_types"][i]
-                    rec.vp_mask[gi, stepk] = wp_h["view_masks"][i]
+                    rec.logits[gi, stepk] = logits[gi]
+                    rec.vp_rgb[gi, stepk] = wp_h["rgb_fts"][gi]
+                    rec.vp_dep[gi, stepk] = wp_h["dep_fts"][gi]
+                    rec.vp_loc[gi, stepk] = wp_h["loc_fts"][gi]
+                    rec.vp_nav[gi, stepk] = wp_h["nav_types"][gi]
+                    rec.vp_mask[gi, stepk] = wp_h["view_masks"][gi]
                     for arr, key in ((rec.gmap_step_ids, "step_ids"),
                                      (rec.gmap_pos_fts, "pos_fts"),
                                      (rec.gmap_mask, "mask"),
@@ -301,26 +300,25 @@ class RolloutEngine:
                     self._fill_agg_w(rec.agg_w[gi, stepk], emits[i], P,
                                      rec.vp_mask[gi])
 
-            # ---- choose actions ----
+            # ---- choose actions (live envs) ----
             if train:
                 acts = np.empty(n, np.int64)
-                for i in range(n):
+                for i, gi in enumerate(live):
                     if self.np_rng.random() <= sample_ratio:
                         acts[i] = teacher[i] if teacher[i] >= 0 else 0
                     else:
                         acts[i] = self.np_rng.choice(logits.shape[1],
-                                                     p=probs[i])
+                                                     p=probs[gi])
             elif sample_actions:
                 acts = np.asarray([
-                    self.np_rng.choice(logits.shape[1], p=probs[i])
-                    for i in range(n)])
+                    self.np_rng.choice(logits.shape[1], p=probs[gi])
+                    for gi in live])
             else:
-                acts = logits.argmax(1)
+                acts = logits[np.asarray(live)].argmax(1)
 
             # ---- build env actions (shared translation helper) ----
             env_actions = []
-            for i in range(n):
-                gi = live[i]
+            for i, gi in enumerate(live):
                 action, new_prev, _, consumed = build_env_action(
                     cfg, gmaps[gi], emits[i], int(acts[i]),
                     prev_node[gi], force_stop=stepk == T - 1)
@@ -332,18 +330,17 @@ class RolloutEngine:
             if record_video:
                 from etpnav_tpu.utils.visualization import \
                     navigator_video_frame
-                for i in range(n):
-                    gi = live[i]
+                for i, gi in enumerate(live):
                     gmap = gmaps[gi]
                     video_traj.setdefault(gi, []).append(
                         np.asarray(pos[i]))
-                    gt = (np.asarray(gt_paths[episodes[i].episode_id])
+                    gt = (np.asarray(gt_paths[episodes[gi].episode_id])
                           if gt_paths else
-                          np.stack(episodes[i].reference_path))
+                          np.stack(episodes[gi].reference_path))
                     act = env_actions[i]
                     video_frames.setdefault(gi, []).append(
                         navigator_video_frame(
-                            {"rgb": rgb[i]},
+                            {"rgb": rgb[gi]},
                             agent_pos=pos[i],
                             trajectory=list(video_traj[gi]),
                             gt_path=list(gt), goal=gt[-1],
@@ -360,7 +357,7 @@ class RolloutEngine:
             done_local = [i for i, r in enumerate(results) if r.done]
             if mode == "eval" and stat_eps is not None:
                 for i in done_local:
-                    ep = episodes[i]
+                    ep = episodes[live[i]]
                     info = results[i].info
                     if info.get("crashed"):
                         # elastic recovery ended this episode without a
@@ -386,7 +383,7 @@ class RolloutEngine:
                             {"spl": m["spl"], "ndtw": m["ndtw"]})
             if mode == "infer" and path_eps is not None:
                 for i in done_local:
-                    ep = episodes[i]
+                    ep = episodes[live[i]]
                     info = results[i].info
                     if info.get("crashed"):
                         continue
@@ -403,16 +400,16 @@ class RolloutEngine:
                     path_eps[ep.episode_id] = {
                         "path": path, "instruction_id": ep.instruction_id}
 
-            # ---- pause finished envs ----
+            # ---- pause finished envs (device batch stays at B) ----
             if done_local:
                 for i in reversed(done_local):
                     envs.pause_at(i)
                     live.pop(i)
-                    episodes.pop(i)
                     results.pop(i)
             if envs.num_envs == 0:
                 break
-            obs_list = [r.observation for r in results]
+            for i, r in enumerate(results):
+                obs_full[live[i]] = r.observation
 
         return rec
 

@@ -235,3 +235,24 @@ def test_fused_heatmap_nms_matches_xla_chain(rng):
                                        interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-7)
     assert (np.count_nonzero(got.reshape(B, -1), axis=1) == 5).all()
+
+
+def test_fused_heatmap_nms_odd_batches(rng):
+    """Batches not blockable by 8 (e.g. 7 live envs after one episode
+    finishes mid-eval) are padded to a lowerable block and sliced back —
+    regression for a Mosaic block-shape failure seen on TPU."""
+    from etpnav_tpu.ops.nms import heatmap_nms
+    from etpnav_tpu.ops.pallas_nms import fused_heatmap_nms
+
+    A, D = 120, 12
+    for B in (1, 3, 7, 9):
+        logits = jnp.asarray(rng.standard_normal((B, A, D)) * 3,
+                             jnp.float32)
+        prob = jax.nn.softmax(
+            logits.reshape(B, A * D), axis=1).reshape(B, A, D)
+        wrapped = jnp.concatenate([prob[:, -1:], prob, prob[:, :1]],
+                                  axis=1)
+        want = np.asarray(heatmap_nms(wrapped, 5, (7.0, 5.0)))
+        got = np.asarray(fused_heatmap_nms(logits, 5, (7.0, 5.0),
+                                           interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-7, err_msg=f"B={B}")

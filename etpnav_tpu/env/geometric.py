@@ -93,6 +93,7 @@ class GeometricNavEnv:
         self._path_progress = [0] * num_envs
         self._ndtw_progress: Dict[int, int] = {}
         self._ndtw_subgoal: Dict[int, np.ndarray] = {}
+        self._detour_dir: Dict[int, int] = {}
 
     # ------------------------------------------------------------------ mgmt
 
@@ -188,6 +189,7 @@ class GeometricNavEnv:
             self._path_progress[g] = 0
             self._ndtw_progress.pop(g, None)
             self._ndtw_subgoal.pop(g, None)
+            self._detour_dir.pop(g, None)
             obs.append(self._observation(g))
         return obs
 
@@ -420,14 +422,34 @@ class GeometricNavEnv:
         rel, _ = self._rel_angle_dist(g, np.asarray(target))
         if rel > math.pi:
             rel -= 2 * math.pi
-        if abs(rel) <= math.radians(TURN_DEG):
-            # probe the forward cell; sidestep if a pillar blocks it
-            h = self._heading[g]
-            nxt = self._pos[g] + np.array(
-                [-FORWARD_M * math.sin(h), 0.0, -FORWARD_M * math.cos(h)])
-            if self._worlds[g].blocked(nxt[[0, 2]]):
-                return self.LOW_LEFT
-            return self.LOW_FWD
+
+        def fwd_blocked(heading: float) -> bool:
+            nxt = self._pos[g] + np.array([-FORWARD_M * math.sin(heading),
+                                           0.0,
+                                           -FORWARD_M * math.cos(heading)])
+            return self._worlds[g].blocked(nxt[[0, 2]])
+
+        h = self._heading[g]
+        step = math.radians(TURN_DEG)
+        detour = self._detour_dir.get(g, 0)
+        if detour:
+            # committed obstacle detour: advance the moment the forward
+            # cell clears, else KEEP rotating the same way. Without the
+            # commitment, the rel-based turn below immediately undoes the
+            # sidestep and the teacher livelocks LEFT/RIGHT against an
+            # off-corridor pillar until the step cap.
+            if not fwd_blocked(h):
+                self._detour_dir.pop(g, None)
+                return self.LOW_FWD
+            return self.LOW_LEFT if detour > 0 else self.LOW_RIGHT
+        if abs(rel) <= step:
+            if not fwd_blocked(h):
+                return self.LOW_FWD
+            # pick the detour side whose next heading clears first
+            d = 1 if not fwd_blocked(h + step) else \
+                (-1 if not fwd_blocked(h - step) else 1)
+            self._detour_dir[g] = d
+            return self.LOW_LEFT if d > 0 else self.LOW_RIGHT
         return self.LOW_LEFT if rel > 0 else self.LOW_RIGHT
 
     def _info(self, g: int) -> dict:
@@ -512,28 +534,21 @@ class GeometricNavEnv:
     def ghost_dist_to_ref(self, env_idx: int, ghost_positions,
                           ref_path) -> int:
         """ndtw-expert subgoal selection with per-episode progress
-        (environments.py:157-192): among reference points within 3 m that
-        are at/after the tracked progress index, advance along the
-        contiguous run starting at the first such point; the run's end is
-        the subgoal. Returns argmin-distance ghost index."""
+        (environments.py:157-192, replicated exactly incl. its
+        run-relative indexing quirk — utils/trajectory.py
+        ndtw_subgoal_index). Returns argmin-distance ghost index."""
+        from etpnav_tpu.utils.trajectory import ndtw_subgoal_index
         g = self._live[env_idx]
         ref = np.asarray(ref_path)
         d = np.array([self._geodesic(self._pos[g], p) for p in ref])
-        within = d <= 3.0
         progress = self._ndtw_progress.get(g, 0)
-        sub_goal = self._ndtw_subgoal.get(g, ref[0])
-        if within.any():
-            cand = np.flatnonzero(within
-                                  & (np.arange(len(ref)) >= progress))
-            if len(cand) == 0:
-                sub_goal = ref[progress]
-            else:
-                run = np.arange(cand[0], cand[0] + len(cand))
-                contiguous = np.array_equal(run, cand)
-                sub_idx = int(cand[-1]) if contiguous else \
-                    int(cand[np.flatnonzero(run != cand)[0] - 1])
-                sub_goal = ref[sub_idx]
-                self._ndtw_progress[g] = sub_idx
+        # reference inits prev_sub_goal_pos to the origin
+        # (environments.py:161); replicated for teacher parity
+        sub_goal = self._ndtw_subgoal.get(g, np.zeros(3))
+        sub_idx, progress = ndtw_subgoal_index(d <= 3.0, progress)
+        if sub_idx is not None:
+            sub_goal = ref[sub_idx]
+            self._ndtw_progress[g] = progress
             self._ndtw_subgoal[g] = sub_goal
         gd = [self._geodesic(p, sub_goal) for p in ghost_positions]
         return int(np.argmin(gd))

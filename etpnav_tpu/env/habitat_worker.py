@@ -414,13 +414,27 @@ class HabitatWorkerEnv:
 
     def ghost_dist_to_ref(self, env_idx: int, ghost_positions,
                           ref_path) -> int:
+        """ndtw-expert subgoal with per-episode progress, replicating
+        environments.py:157-192 exactly (incl. the run-relative indexing
+        quirk and the origin-initialized previous subgoal) via the shared
+        utils/trajectory.ndtw_subgoal_index — the same expert the
+        geometric env runs, so DAgger/SPL labels agree across backends."""
+        from etpnav_tpu.utils.trajectory import ndtw_subgoal_index
+        ep_id = self._env.current_episode.episode_id
+        if getattr(self, "_ndtw_ep", None) != ep_id:
+            self._ndtw_ep = ep_id
+            self._ndtw_progress = 0
+            self._ndtw_subgoal = np.zeros(3)   # environments.py:161
         ref = np.asarray(ref_path)
         pos = np.asarray(self._state().position)
         d = np.array([self._sim().geodesic_distance(pos, p) for p in ref])
-        within = d <= 3.0
-        sub_goal = ref[int(np.flatnonzero(within)[-1])] if within.any() \
-            else ref[0]
-        gd = [self._sim().geodesic_distance(list(map(float, g)), sub_goal)
+        sub_idx, self._ndtw_progress = ndtw_subgoal_index(
+            d <= 3.0, self._ndtw_progress)
+        if sub_idx is not None:
+            self._ndtw_subgoal = ref[sub_idx]
+        sub_goal = self._ndtw_subgoal
+        gd = [self._sim().geodesic_distance(list(map(float, g)),
+                                            list(map(float, sub_goal)))
               for g in ghost_positions]
         return int(np.argmin(gd))
 

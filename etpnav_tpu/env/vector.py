@@ -237,12 +237,15 @@ class ProcessVectorEnv:
             status, res = replies[i]
             if status == "err":
                 raise RuntimeError(f"worker {i}: {res}")
-            self._ok_calls[i] += 1
-            if (self._restarts[i]
-                    and self._ok_calls[i] >= self._restart_decay_calls):
-                self._restarts[i] = 0     # budget bounds rate, not total
+            self._record_ok(i)
             out.append(self._decode(i, res))
         return out
+
+    def _record_ok(self, i: int):
+        self._ok_calls[i] += 1
+        if (self._restarts[i]
+                and self._ok_calls[i] >= self._restart_decay_calls):
+            self._restarts[i] = 0         # budget bounds rate, not total
 
     # ---- VectorNavEnv protocol ----
 
@@ -332,25 +335,30 @@ class ProcessVectorEnv:
             out = self._pending
             self._pending = None
             return out
+        # drain EVERY surviving worker's reply before any error handling —
+        # raising mid-loop would leave buffered step replies that desync
+        # the pipe protocol for all later calls (same rule as
+        # _call_workers above)
+        replies = {}
+        dead = set(getattr(self, "_async_dead", ()))
+        for i in self._live:
+            if i in dead:
+                continue
+            try:
+                replies[i] = self._conns[i].recv()
+            except (EOFError, OSError):
+                dead.add(i)
         out = []
         for i in self._live:
-            dead = i in getattr(self, "_async_dead", ())
-            if not dead:
-                try:
-                    status, res = self._conns[i].recv()
-                except (EOFError, OSError):
-                    dead = True
-            if dead:
+            if i in dead:
                 if not self._restart_on_crash:
                     raise RuntimeError(f"worker {i} died during 'step'")
                 out.append(self._crash_step_result(i)[0])
                 continue
+            status, res = replies[i]
             if status == "err":
                 raise RuntimeError(f"worker {i}: {res}")
-            self._ok_calls[i] += 1
-            if (self._restarts[i]
-                    and self._ok_calls[i] >= self._restart_decay_calls):
-                self._restarts[i] = 0
+            self._record_ok(i)
             out.append(self._decode(i, res)[0])
         return out
 

@@ -281,6 +281,20 @@ class TopoMap:
             drop = set(ghost_ids[:n_drop])
             slots = [(k, i) for k, i in slots
                      if not (k == "ghost" and i in drop)]
+        if len(slots) > max_len:
+            # every ghost is gone and the visited nodes alone overflow
+            # (one node is added per step, and nothing ties the step cap
+            # to max_gmap_len — long-lived serving sessions hit this):
+            # drop the oldest visited nodes, never the current one. Old
+            # visited slots are -inf-masked in action scoring anyway, so
+            # this only trims the planner's attention context; without it
+            # the fancy-index stores below raise IndexError.
+            n_drop = len(slots) - max_len
+            order = sorted((self.node_step[i], i) for k, i in slots
+                           if k == "node" and i != cur_node)
+            drop_nodes = {i for _, i in order[:n_drop]}
+            slots = [(k, i) for k, i in slots
+                     if not (k == "node" and i in drop_nodes)]
         G = max_len
         img_fts = np.zeros((G, embed_dim), np.float32)
         step_ids = np.zeros((G,), np.int32)

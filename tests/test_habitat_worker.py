@@ -221,9 +221,15 @@ def test_oracles(worker):
     ghosts = np.array([[0.0, 0.0, -4.9], [3.0, 0.0, 3.0]])
     k = worker.ghost_dist_to_ref(0, ghosts, _EpisodeMeta.reference_path)
     assert k == 0
-    # at the start, the subgoal is ref[0] so the closer-to-start ghost
-    # wins instead (ndtw expert semantics, ss_trainer_ETP.py:287-301)
+    # progress is monotonic WITHIN an episode (environments.py:158-162):
+    # teleporting back to the start keeps the near-end subgoal
     worker._env.sim.pos = np.zeros(3)
+    k = worker.ghost_dist_to_ref(0, ghosts, _EpisodeMeta.reference_path)
+    assert k == 0
+    # a new episode resets the progress: at the start the subgoal is
+    # ref[0] and the closer-to-start ghost wins (ndtw expert semantics,
+    # ss_trainer_ETP.py:287-301)
+    worker._env.current_episode = _EpisodeMeta2()
     k = worker.ghost_dist_to_ref(0, ghosts, _EpisodeMeta.reference_path)
     assert k == 1
 

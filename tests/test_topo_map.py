@@ -144,6 +144,63 @@ def test_emit_overflow_drops_oldest_ghosts():
     assert ghost_ids == all_ids[-len(ghost_ids):]
 
 
+def test_emit_overflow_drops_oldest_nodes_when_nodes_alone_overflow():
+    """When 1 + num_nodes exceeds max_len even with every ghost dropped
+    (long-lived serving sessions / step caps above max_gmap_len), the
+    oldest visited nodes are dropped — never the current node — instead
+    of the fancy-index stores raising IndexError."""
+    m = TopoMap(loc_noise=0.01, merge_ghost=False)
+    prev = None
+    for s in range(12):
+        prev = _step(m, prev, [0, 0, -2.0 * s], [0.0], [2.0], s + 1, s)
+    assert m.num_nodes == 12
+    G = 8
+    out = m.emit(prev, np.array([0., 0., -22.]), IDENT_Q, max_len=G,
+                 embed_dim=8)
+    assert out["mask"].sum() <= G
+    node_ids = [i for k, i in out["slot_list"] if k == "node"]
+    assert prev in node_ids                      # current node survives
+    # the survivors are the newest nodes (plus the current one)
+    steps = sorted(m.node_step[i] for i in node_ids)
+    assert steps == sorted(range(13 - len(node_ids), 13))
+
+
+def test_ndtw_subgoal_quirk_matches_reference():
+    """utils/trajectory.ndtw_subgoal_index replicates environments.py:
+    163-180 exactly, including the run-relative indexing quirk in the
+    non-contiguous branch (position-1, NOT cand[position-1])."""
+    from etpnav_tpu.utils.trajectory import ndtw_subgoal_index
+
+    def ref_impl(within, progress):
+        # transcription of environments.py:163-180
+        circle_bool = np.asarray(within)
+        if circle_bool.sum() == 0:
+            return None, progress
+        cand_idxes = np.where(circle_bool
+                              & (np.arange(len(within)) >= progress))[0]
+        if len(cand_idxes) == 0:
+            return progress, progress
+        compare = np.array(list(range(
+            cand_idxes[0], cand_idxes[0] + len(cand_idxes)))) == cand_idxes
+        if np.all(compare):
+            sub_goal_idx = cand_idxes[-1]
+        else:
+            sub_goal_idx = np.where(compare == False)[0][0] - 1  # noqa: E712
+        return int(sub_goal_idx), int(sub_goal_idx)
+
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        n = int(rng.integers(1, 12))
+        within = rng.random(n) < 0.5
+        progress = int(rng.integers(0, n))
+        assert ndtw_subgoal_index(within, progress) == \
+            ref_impl(within, progress), (within, progress)
+    # the canonical quirk case: cand = [5, 6, 9] -> ref index 1 (not 6)
+    within = np.zeros(10, bool)
+    within[[5, 6, 9]] = True
+    assert ndtw_subgoal_index(within, 0) == (1, 1)
+
+
 def test_heading_from_quaternion_basic():
     # identity: facing -z -> heading 0
     assert heading_from_quaternion(IDENT_Q) == pytest.approx(0.0)

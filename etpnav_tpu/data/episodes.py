@@ -70,7 +70,26 @@ def load_rxr_episodes(path: str, *, roles: Sequence[str] = ("guide",),
     """RxR-CE episodes with role/language filtering
     (RxRVLNCEDatasetV1, task.py:135-242). Tokenization happens here if a
     tokenizer is provided (the reference ships token features separately).
+
+    Roles select FILES, as in the reference (task.py:172-190: one
+    ``{split}_{role}.json.gz`` per role): a ``{role}`` placeholder in
+    `path` is expanded per requested role ("*" = all annotation roles).
+    A role-less path loads the single file unchanged.
     """
+    if "{role}" in path:
+        role_list = RXR_ROLES if "*" in roles else tuple(roles)
+        unknown = set(role_list) - set(RXR_ROLES)
+        if unknown:
+            raise ValueError(f"unknown RxR roles {sorted(unknown)}; "
+                             f"annotation roles are {RXR_ROLES}")
+        out: List[Episode] = []
+        for role in role_list:
+            out.extend(load_rxr_episodes(
+                path.format(role=role), roles=(role,),
+                languages=languages, max_instr_len=max_instr_len,
+                pad_id=pad_id, episodes_allowed=episodes_allowed,
+                tokenizer=tokenizer))
+        return out
     with gzip.open(path, "rt") as f:
         data = json.load(f)
     allowed = set(map(str, episodes_allowed)) if episodes_allowed else None

@@ -196,5 +196,16 @@ class GrainMetaLoader:
             batch = next(self.iters[task])
         except StopIteration:
             self.iters[task] = iter(self.loaders[task])
-            batch = next(self.iters[task])
+            try:
+                batch = next(self.iters[task])
+            except StopIteration:
+                # a StopIteration escaping __next__ would just END the
+                # meta iterator: training stops silently at an arbitrary
+                # step. A task yields zero batches when its per-host
+                # record count is below the batch size (ShardByJaxProcess
+                # + drop_remainder) — error loudly instead.
+                raise RuntimeError(
+                    f"task {task!r} yields no full batch on this host "
+                    "(record shard smaller than the batch size?)"
+                ) from None
         return task, batch

@@ -249,7 +249,9 @@ def load_split_episodes(cfg, split: str,
     """Load the configured split via data/episodes.py ({split}
     interpolation like the reference DATA_PATH)."""
     from etpnav_tpu.data import episodes as ep_lib
-    path = cfg.paths.data_path.format(split=split)
+    # replace (not str.format): RxR templates also carry a {role}
+    # placeholder that load_rxr_episodes expands per role
+    path = cfg.paths.data_path.replace("{split}", split)
     if cfg.task_type == "rxr":
         return ep_lib.load_rxr_episodes(
             path, roles=cfg.paths.roles, languages=cfg.paths.languages,

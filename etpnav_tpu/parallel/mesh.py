@@ -106,21 +106,25 @@ def param_spec(path: str, ndim: Optional[int] = None) -> P:
     return P()
 
 
+def _path_str(kp) -> str:
+    """Key-path -> 'a/b/0/c' — the ONE rendering param_spec rules match
+    against (tree_paths and param_shardings must agree on it)."""
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                    for k in kp)
+
+
 def tree_paths(tree) -> list:
     paths = []
     jax.tree_util.tree_map_with_path(
-        lambda kp, _: paths.append("/".join(
-            str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)),
-        tree)
+        lambda kp, _: paths.append(_path_str(kp)), tree)
     return paths
 
 
 def param_shardings(mesh: Mesh, params):
     """NamedSharding pytree for a param tree using the TP layout rules."""
     def spec_for(kp, leaf):
-        path = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
-                        for k in kp)
-        return NamedSharding(mesh, param_spec(path, np.ndim(leaf)))
+        return NamedSharding(mesh, param_spec(_path_str(kp),
+                                              np.ndim(leaf)))
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 

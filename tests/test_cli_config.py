@@ -184,6 +184,41 @@ def test_rxr_episode_loading(tmp_path):
     assert load_rxr_episodes(str(p), languages=("en",)) == []
 
 
+def test_rxr_roles_select_files(tmp_path):
+    """Roles select FILES like the reference (task.py:172-190: one
+    {split}_{role}.json.gz per role); '*' loads every annotation role."""
+    def ep(i):
+        return {"episode_id": i, "scene_id": "s",
+                "start_position": [0, 0, 0],
+                "start_rotation": [0, 0, 0, 1],
+                "goals": [{"position": [1, 0, 1]}],
+                "instruction": {"instruction_text": "x", "language": "en",
+                                "instruction_id": str(i),
+                                "instruction_tokens": [4]},
+                "reference_path": []}
+    _write_gz(tmp_path / "val_guide.json.gz", {"episodes": [ep(1)]})
+    _write_gz(tmp_path / "val_follower.json.gz",
+              {"episodes": [ep(2), ep(3)]})
+    tpl = str(tmp_path / "val_{role}.json.gz")
+    assert len(load_rxr_episodes(tpl, roles=("guide",))) == 1
+    assert len(load_rxr_episodes(tpl, roles=("follower",))) == 2
+    both = load_rxr_episodes(tpl, roles=("*",))
+    assert sorted(e.episode_id for e in both) == ["1", "2", "3"]
+    import pytest
+    with pytest.raises(ValueError, match="unknown RxR roles"):
+        load_rxr_episodes(tpl, roles=("pilot",))
+
+
+def test_latest_checkpoint_skips_orbax_tmp(tmp_path):
+    """A preempted save's '.orbax-checkpoint-tmp-*' dir must not win the
+    requeue resume over the last completed checkpoint."""
+    from etpnav_tpu.training.checkpoints import latest_checkpoint
+    (tmp_path / "ckpt_iter90").mkdir()
+    (tmp_path / "ckpt_iter100.orbax-checkpoint-tmp-123").mkdir()
+    got = latest_checkpoint(str(tmp_path))
+    assert got is not None and got.endswith("ckpt_iter90")
+
+
 def test_gt_paths(tmp_path):
     p = tmp_path / "gt.json.gz"
     _write_gz(p, {"3": {"locations": [[0, 0, 0], [1, 1, 1]]}})

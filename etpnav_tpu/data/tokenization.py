@@ -35,7 +35,14 @@ def get_tokenizer(task_type: str = "r2r",
                 for f in ("vocab.txt", "sentencepiece.bpe.model",
                           "tokenizer.json")):
             return AutoTokenizer.from_pretrained(local)
-    return AutoTokenizer.from_pretrained(name)
+    try:
+        return AutoTokenizer.from_pretrained(name)
+    except OSError as e:
+        raise RuntimeError(
+            f"No vendored tokenizer files for '{name}' under any of {dirs} "
+            "and the HF hub is unreachable. Place vocab.txt (bert) or "
+            "sentencepiece.bpe.model / tokenizer.json (xlm-roberta) in "
+            f"<bert_config_dir>/{name}/ to run offline.") from e
 
 
 def encode_instruction(tokenizer, text: str, max_len: int):

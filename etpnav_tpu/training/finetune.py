@@ -165,6 +165,19 @@ def make_il_optimizer(cfg: ExperimentConfig, planner_params: dict
         labels)
 
 
+def _warn_short(what: str, got: int, want: int):
+    """evaluate()/inference() must not silently deliver fewer episodes than
+    requested (a too-small split or a crash-looping env otherwise yields a
+    quietly wrong-sized result set)."""
+    if got < want:
+        import warnings
+        warnings.warn(
+            f"{what} collected {got}/{want} requested episodes before the "
+            "guard exhausted — the split may be smaller than requested or "
+            "envs may be failing; results aggregate only what arrived.",
+            RuntimeWarning, stacklevel=3)
+
+
 def record_to_batch(rec: RolloutRecord) -> dict:
     return {
         "txt_ids": jnp.asarray(rec.txt_ids),
@@ -284,11 +297,16 @@ class FinetuneTrainer:
         aggregation over unique episodes. video_dir writes one navigator
         video per episode (VIDEO_DIR pipeline)."""
         stat_eps: dict = {}
-        guard = 0
+        guard = stalled = 0
         while len(stat_eps) < episode_count and guard < 10 * episode_count:
+            before = len(stat_eps)
             self.engine.run("eval", stat_eps=stat_eps, gt_paths=gt_paths,
                             video_dir=video_dir)
             guard += 1
+            stalled = stalled + 1 if len(stat_eps) == before else 0
+            if stalled >= 3:
+                break   # split exhausted / envs crash-looping: stop early
+        _warn_short("evaluate", len(stat_eps), episode_count)
         return aggregate(stat_eps)
 
     def inference(self, episode_count: int, predictions_file: str,
@@ -298,11 +316,16 @@ class FinetuneTrainer:
         if sample is None:
             sample = self.cfg.inference.sample
         path_eps: dict = {}
-        guard = 0
+        guard = stalled = 0
         while len(path_eps) < episode_count and guard < 10 * episode_count:
+            before = len(path_eps)
             self.engine.run("infer", path_eps=path_eps,
                             sample_actions=sample)
             guard += 1
+            stalled = stalled + 1 if len(path_eps) == before else 0
+            if stalled >= 3:
+                break
+        _warn_short("inference", len(path_eps), episode_count)
         os.makedirs(os.path.dirname(predictions_file) or ".", exist_ok=True)
         if fmt == "r2r":
             payload = {k: v["path"] for k, v in path_eps.items()}

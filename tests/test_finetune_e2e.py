@@ -149,6 +149,35 @@ def test_eval_gmap_bucketing_matches_full_size():
         assert a[key] == pytest.approx(b[key], abs=1e-6), (key, a, b)
 
 
+def test_eval_warns_when_split_underdelivers(trainer, monkeypatch):
+    """A split smaller than requested (or a crash-looping env) must warn
+    with the achieved count instead of silently aggregating fewer episodes
+    (VERDICT r2 weak #4)."""
+    def fake_run(mode, **kw):
+        kw["stat_eps"].setdefault("only_ep", {
+            "success": 1.0, "spl": 1.0, "ndtw": 1.0, "sdtw": 1.0,
+            "oracle_success": 1.0, "distance_to_goal": 0.0,
+            "path_length": 1.0, "steps_taken": 1.0, "collisions": 0.0})
+    monkeypatch.setattr(trainer.engine, "run", fake_run)
+    with pytest.warns(RuntimeWarning, match=r"1/5 requested"):
+        stats = trainer.evaluate(episode_count=5)
+    assert stats["success"] == 1.0
+
+
+def test_inference_warns_when_split_underdelivers(trainer, monkeypatch,
+                                                  tmp_path):
+    def fake_run(mode, **kw):
+        kw["path_eps"].setdefault("ep0", {
+            "path": [{"position": [0.0, 0.0, 0.0], "heading": 0.0,
+                      "stop": True}],
+            "instruction_id": 0})
+    monkeypatch.setattr(trainer.engine, "run", fake_run)
+    out = tmp_path / "short.json"
+    with pytest.warns(RuntimeWarning, match=r"1/4 requested"):
+        trainer.inference(episode_count=4, predictions_file=str(out))
+    assert json.loads(out.read_text())
+
+
 def test_checkpoint_roundtrip(trainer, tmp_path):
     path = tmp_path / "ckpt_iter2"
     trainer.save_checkpoint(str(path))

@@ -24,10 +24,27 @@ def test_aux_losses_registry():
                 mask=jnp.asarray([1.0, 1.0, 0.0]))
     total = float(al.reduce())
     assert total == 2.0 * 2.0 + 3.0       # 2*mean(1,3) + masked-mean(2,4)
-    assert float(al.get("a")) == 2.0
+    # get() returns the raw registered array (reference get_loss)
+    assert np.allclose(np.asarray(al.get("a")), [1.0, 3.0])
     al.deactivate()
     al.clear()
     assert al._losses == {}
+
+
+def test_aux_losses_reduce_applies_mask():
+    """reduce(mask) masks each loss like the reference's
+    masked_select(...).mean() (common/aux_losses.py:25-32), composing with
+    any registration-time mask."""
+    al = AuxLosses()
+    al.activate()
+    al.register("a", jnp.asarray([1.0, 3.0, 100.0]), weight=2.0)
+    al.register("b", jnp.asarray([2.0, 4.0, 6.0]), weight=1.0,
+                mask=jnp.asarray([1.0, 1.0, 0.0]))
+    total = float(al.reduce(mask=jnp.asarray([True, True, False])))
+    assert total == 2.0 * 2.0 + 3.0
+    # reduce mask narrows the registration mask, not replaces it
+    total2 = float(al.reduce(mask=jnp.asarray([True, False, True])))
+    assert total2 == 2.0 * ((1.0 + 100.0) / 2) + 2.0
 
 
 def test_running_meter():

@@ -80,15 +80,42 @@ def replay_logits(planner_params: dict, cfg: ExperimentConfig,
         batch["vp_mask"].reshape(B * T, P),
         r_pano)
     pano_flat = pano_embeds.reshape(B, T * P, -1)
-    # zero tokens of invalid steps so W rows only see real data
+    # zero tokens of invalid steps so aggregation only sees real data
     step_tok_mask = jnp.repeat(batch["step_valid"], P, axis=1)  # (B, T*P)
     pano_flat = pano_flat * step_tok_mask[..., None]
 
-    # graph node features: one MXU matmul against the recorded aggregation
-    gmap_img = jnp.einsum("btgs,bsd->btgd",
-                          batch["agg_w"].astype(pano_flat.dtype), pano_flat,
-                          preferred_element_type=jnp.float32
-                          ).astype(pano_flat.dtype)
+    if "agg_w" in batch:
+        # legacy dense (B,T,G,T*P) aggregation matrix: one MXU matmul
+        gmap_img = jnp.einsum(
+            "btgs,bsd->btgd", batch["agg_w"].astype(pano_flat.dtype),
+            pano_flat, preferred_element_type=jnp.float32
+        ).astype(pano_flat.dtype)
+    else:
+        # sparse provenance record (RolloutRecord.agg_* — see rollout.py):
+        # node slots gather their visit-step's masked token mean; ghost
+        # slots sum weighted gathered tokens via a small one-hot matmul.
+        # Aggregation math runs in fp32 (matching the dense einsum's
+        # preferred_element_type accumulation under bf16 activations).
+        dt = pano_flat.dtype
+        pano32 = pano_flat.astype(jnp.float32)
+        pano_bt = pano32.reshape(B, T, P, -1)
+        vmask = batch["vp_mask"] & batch["step_valid"][..., None]
+        cnt = jnp.maximum(vmask.sum(-1), 1).astype(jnp.float32)  # (B, T)
+        step_mean = ((pano_bt * vmask[..., None]).sum(2)
+                     / cnt[..., None])                          # (B, T, D)
+        node_oh = (batch["agg_node_step"][..., None]
+                   == jnp.arange(T, dtype=jnp.int32))           # (B,T,G,T)
+        gmap_node = jnp.einsum("btgu,bud->btgd",
+                               node_oh.astype(jnp.float32), step_mean)
+        ent_feat = pano32[jnp.arange(B)[:, None, None],
+                          batch["agg_ent_tok"]]                 # (B,T,M,D)
+        ent_feat = ent_feat * batch["agg_ent_val"][..., None]
+        slot_oh = (batch["agg_ent_slot"][..., None]
+                   == jnp.arange(G, dtype=jnp.int32))           # (B,T,M,G)
+        # padding entries carry val=0, so their slot-0 one-hot adds zero
+        gmap_ghost = jnp.einsum("btmg,btmd->btgd",
+                                slot_oh.astype(jnp.float32), ent_feat)
+        gmap_img = (gmap_node + gmap_ghost).astype(dt)
 
     # navigation encoder over all steps at once
     txt_tiled = jnp.broadcast_to(txt[:, None], (B, T) + txt.shape[1:]) \
@@ -187,7 +214,10 @@ def record_to_batch(rec: RolloutRecord) -> dict:
         "vp_loc": jnp.asarray(rec.vp_loc),
         "vp_nav": jnp.asarray(rec.vp_nav),
         "vp_mask": jnp.asarray(rec.vp_mask),
-        "agg_w": jnp.asarray(rec.agg_w),
+        "agg_node_step": jnp.asarray(rec.agg_node_step),
+        "agg_ent_slot": jnp.asarray(rec.agg_ent_slot),
+        "agg_ent_tok": jnp.asarray(rec.agg_ent_tok),
+        "agg_ent_val": jnp.asarray(rec.agg_ent_val),
         "gmap_step_ids": jnp.asarray(rec.gmap_step_ids),
         "gmap_pos_fts": jnp.asarray(rec.gmap_pos_fts),
         "gmap_mask": jnp.asarray(rec.gmap_mask),

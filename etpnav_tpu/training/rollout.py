@@ -47,7 +47,19 @@ class RolloutRecord:
     vp_loc: np.ndarray         # (B, T, P, 4)
     vp_nav: np.ndarray         # (B, T, P)
     vp_mask: np.ndarray        # (B, T, P)
-    agg_w: np.ndarray          # (B, T, G, T*P)
+    # Sparse aggregation record (replaces a dense (B,T,G,T*P) W matrix,
+    # which grew quadratically in T — ~28 MB/interval at r2r shapes):
+    # - node slots average exactly ONE step's valid tokens, so each needs
+    #   only its visit-step index (-1 for stop/ghost/empty slots);
+    # - ghost slots average their (step, token) provenance entries; the
+    #   total entry count across all live ghosts is hard-bounded by the
+    #   number of candidates ever observed <= T*max_predictions = M
+    #   (each candidate either becomes an edge or appends exactly one
+    #   provenance entry; deletion/overflow only removes entries).
+    agg_node_step: np.ndarray  # (B, T, G) int32, -1 = not a node slot
+    agg_ent_slot: np.ndarray   # (B, T, M) int32 gmap slot (0-padded)
+    agg_ent_tok: np.ndarray    # (B, T, M) int32 flat token t*P+tok
+    agg_ent_val: np.ndarray    # (B, T, M) f32 share weight (0 = padding)
     gmap_step_ids: np.ndarray  # (B, T, G)
     gmap_pos_fts: np.ndarray   # (B, T, G, 7)
     gmap_mask: np.ndarray      # (B, T, G)
@@ -124,7 +136,6 @@ class RolloutEngine:
         T = il.max_traj_len
         P = cfg.waypoint.max_predictions + 12
         G = cfg.planner.max_gmap_len
-        S = T * P
         Dr = cfg.planner.image_feat_size
         Dd = cfg.planner.depth_feat_size
         Dh = cfg.planner.hidden_size
@@ -139,6 +150,7 @@ class RolloutEngine:
         train = mode == "train"
         rec = None
         if train:
+            M = T * cfg.waypoint.max_predictions
             rec = RolloutRecord(
                 txt_ids=txt_ids, txt_masks=txt_masks,
                 vp_rgb=np.zeros((B, T, P, Dr), np.float32),
@@ -146,7 +158,10 @@ class RolloutEngine:
                 vp_loc=np.zeros((B, T, P, 4), np.float32),
                 vp_nav=np.zeros((B, T, P), np.int32),
                 vp_mask=np.zeros((B, T, P), bool),
-                agg_w=np.zeros((B, T, G, S), np.float32),
+                agg_node_step=np.full((B, T, G), -1, np.int32),
+                agg_ent_slot=np.zeros((B, T, M), np.int32),
+                agg_ent_tok=np.zeros((B, T, M), np.int32),
+                agg_ent_val=np.zeros((B, T, M), np.float32),
                 gmap_step_ids=np.zeros((B, T, G), np.int32),
                 gmap_pos_fts=np.zeros((B, T, G, 7), np.float32),
                 gmap_mask=np.zeros((B, T, G), bool),
@@ -297,8 +312,7 @@ class RolloutEngine:
                                      (rec.gmap_visited, "visited"),
                                      (rec.gmap_pair, "pair_dists")):
                         arr[gi, stepk] = emits[i][key]
-                    self._fill_agg_w(rec.agg_w[gi, stepk], emits[i], P,
-                                     rec.vp_mask[gi])
+                    self._fill_agg_sparse(rec, gi, stepk, emits[i], P)
 
             # ---- choose actions (live envs) ----
             if train:
@@ -448,27 +462,36 @@ class RolloutEngine:
             return slot_of_ghost[gids[int(k)]]
         raise NotImplementedError(il.expert_policy)
 
-    def _fill_agg_w(self, w_slice: np.ndarray, emit: dict, P: int,
-                    vp_mask_all: np.ndarray):
-        """Fill the (G, T*P) aggregation matrix for one recorded step.
+    def _fill_agg_sparse(self, rec: RolloutRecord, gi: int, stepk: int,
+                         emit: dict, P: int):
+        """Record the aggregation provenance for one step (sparse form).
 
-        node slot: masked average over its visit-step's valid tokens;
-        ghost slot: mean over its (step, token) provenance entries.
+        node slot: masked average over its visit-step's valid tokens
+        (replay recomputes per-step token means, so one step index
+        suffices); ghost slot: mean over its (step, token) provenance
+        entries, one table row each.
         """
+        n = 0
+        M = rec.agg_ent_val.shape[2]
         for si, prov in enumerate(emit["provenance"]):
             if prov is None:
                 continue
             kind, data = prov
             if kind == "node":
-                t = data
-                valid = vp_mask_all[t]
-                nval = max(valid.sum(), 1)
-                w_slice[si, t * P: (t + 1) * P][valid] = 1.0 / nval
+                rec.agg_node_step[gi, stepk, si] = data
             else:
                 entries = data
                 share = 1.0 / len(entries)
+                if n + len(entries) > M:
+                    raise AssertionError(
+                        f"ghost provenance overflow: {n + len(entries)} "
+                        f"entries > M={M} (bound T*max_predictions "
+                        "violated — provenance accounting bug)")
                 for (t, tok) in entries:
-                    w_slice[si, t * P + tok] += share
+                    rec.agg_ent_slot[gi, stepk, n] = si
+                    rec.agg_ent_tok[gi, stepk, n] = t * P + tok
+                    rec.agg_ent_val[gi, stepk, n] = share
+                    n += 1
 
 
 def build_env_action(cfg, gmap: TopoMap, emit: dict, slot: int,

@@ -31,6 +31,26 @@ def test_train_two_iters_decreases_or_runs(trainer):
     assert trainer.iteration == 2
 
 
+def dense_agg_from_record(rec, b, t):
+    """Reconstruct the (G, T*P) aggregation matrix one recorded step's
+    sparse agg_* fields encode (the round-2 dense layout, kept as the
+    test oracle for the sparse record)."""
+    T, P = rec.vp_mask.shape[1:3]
+    G = rec.agg_node_step.shape[2]
+    w = np.zeros((G, T * P), np.float32)
+    for si in range(G):
+        ts = rec.agg_node_step[b, t, si]
+        if ts >= 0:
+            valid = rec.vp_mask[b, ts]
+            w[si, ts * P:(ts + 1) * P][valid] = 1.0 / max(valid.sum(), 1)
+    for slot, tok, val in zip(rec.agg_ent_slot[b, t],
+                              rec.agg_ent_tok[b, t],
+                              rec.agg_ent_val[b, t]):
+        if val > 0:
+            w[slot, tok] += val
+    return w
+
+
 def test_rollout_record_consistency(trainer):
     rec = trainer.engine.run("train", sample_ratio=1.0)
     B, T = rec.step_valid.shape
@@ -42,12 +62,15 @@ def test_rollout_record_consistency(trainer):
             if not rec.step_valid[b, t]:
                 continue
             mask = rec.gmap_mask[b, t]
-            w = rec.agg_w[b, t]
+            w = dense_agg_from_record(rec, b, t)
             sums = w.sum(-1)
             # stop slot has zero weights; others sum to 1
             assert sums[0] == 0
             np.testing.assert_allclose(sums[mask][1:], 1.0, atol=1e-5)
             assert (sums[~mask] == 0).all()
+            # node slots reference only recorded steps of this env
+            ns = rec.agg_node_step[b, t]
+            assert (rec.step_valid[b][ns[ns >= 0]]).all()
     # teacher indices point at ghost slots or 0/-100
     valid_t = rec.teacher[rec.step_valid]
     assert ((valid_t >= -100) & (valid_t < rec.gmap_mask.shape[2])).all()

@@ -95,9 +95,32 @@ def flops_per_nav_step(cfg) -> float:
     return p.num_x_layers * per_layer + 2 * G * D * D  # + SAP head
 
 
+def flops_per_trained_step(cfg) -> float:
+    """Analytic FLOPs to TRAIN one planner step (fwd+bwd ~= 3x fwd of the
+    differentiable path): nav scoring + its share of the pano encoder
+    (P tokens, 2 layers) and text encoder (L tokens, 9 layers, amortized
+    over the T steps of its interval). The frozen CLIP/depth/waypoint
+    towers carry no gradient in the reference either
+    (ss_trainer_ETP.py:484-490)."""
+    p = cfg.planner
+    P = cfg.waypoint.max_predictions + 12
+    L, D, T = p.max_txt_len, p.hidden_size, cfg.il.max_traj_len
+    pano = p.num_pano_layers * (24 * P * D * D + 4 * P * P * D)
+    txt = p.num_l_layers * (24 * L * D * D + 4 * L * L * D) / T
+    return 3.0 * (flops_per_nav_step(cfg) + pano + txt)
+
+
 def perception_baseline(cfg) -> float:
     return A100_PEAK_FLOPS * PERCEPTION_A100_UTILIZATION / flops_per_pano(
         cfg)
+
+
+def train_baseline(cfg) -> float:
+    """Modeled A100 trained-planner-steps/s. Same latency-bound regime as
+    the inference nav program (small batch, short sequences), so the same
+    documented 10% utilization assumption applies to the training pass."""
+    return (A100_PEAK_FLOPS * PLANNER_A100_UTILIZATION
+            / flops_per_trained_step(cfg))
 
 
 def planner_baseline(cfg) -> float:
@@ -240,10 +263,91 @@ def measure_planner(cfg, params, *, batch_per_device: int = 16,
     return B * iters / dt
 
 
+def measure_learn_step(cfg, *, batch: int = 16, chain: int = 4,
+                       repeats: int = 3) -> float:
+    """ms per fused learn step (the full rollout-replay train update:
+    replay fwd + grads + AdamW) at r2r interval shapes. Params/opt-state
+    thread the scan carry, so the body cannot be hoisted."""
+    import importlib.util
+    import os
+
+    import jax
+    import optax
+
+    from etpnav_tpu.models import planner as planner_lib
+    from etpnav_tpu.training.finetune import compute_il_loss, \
+        make_il_optimizer
+
+    spec = importlib.util.spec_from_file_location(
+        "exp_train_bench", os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tools", "exp_train_bench.py"))
+    etb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(etb)
+
+    host = etb.synth_batch(cfg, batch, rng=0)
+    params = planner_lib.init_planner_params(
+        jax.random.PRNGKey(0), cfg.planner)
+    tx = make_il_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    dev_batch = jax.device_put(host)
+
+    def chained(params, opt_state, batch, rngs):
+        def body(carry, rng):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(compute_il_loss)(
+                params, cfg, batch, rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+        _, losses = jax.lax.scan(body, (params, opt_state), rngs)
+        return losses
+
+    fn = jax.jit(chained)
+    rngs = jax.random.split(jax.random.PRNGKey(1), chain)
+    np.asarray(fn(params, opt_state, dev_batch, rngs))   # compile+warm
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(fn(params, opt_state, dev_batch, rngs))
+        times.append(time.perf_counter() - t0)
+    return min(times) / chain * 1e3
+
+
+def measure_train_iteration(cfg, *, num_envs: int = 8, iters: int = 2,
+                            pipelined: bool = False):
+    """sec per full train iteration (rollout over a GeometricNavEnv pool
+    + fused learn step) — the reference's unit of progress
+    (ss_trainer_ETP.py:482-506). pipelined splits the pool over two
+    threaded engines (training/pipeline.py)."""
+    from etpnav_tpu.env.geometric import GeometricNavEnv
+    from etpnav_tpu.training.finetune import FinetuneTrainer
+
+    def mkenv(n, seed):
+        return GeometricNavEnv(
+            n, seed=seed, vocab_size=cfg.planner.vocab_size,
+            max_instr_len=cfg.il.max_text_len,
+            image_size=cfg.clip.image_size,
+            depth_size=cfg.depth.input_size,
+            pad_id=cfg.planner.pad_token_id)
+
+    envs = ([mkenv(num_envs // 2, 0), mkenv(num_envs // 2, 1)]
+            if pipelined else mkenv(num_envs, 0))
+    tr = FinetuneTrainer(cfg, envs, seed=0)
+    tr.train(iters=1)                                    # compile warmup
+    tr.timer.reset()
+    t0 = time.perf_counter()
+    tr.train(iters=iters)
+    dt = (time.perf_counter() - t0) / iters
+    return dt, {k: round(v, 3) for k, v in tr.timer.means().items()}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=0,
                     help="0 = all visible devices")
+    ap.add_argument("--skip-train", action="store_true",
+                    help="skip the training-path metrics")
     # Server operating point: B=16 panoramas (192 images) per device per
     # dispatch. Measured sweep on v5e-1 (tools/perf_probe.py --batch N):
     # 8 -> 835, 12 -> 910, 16 -> 932, 20 -> 923, 24 -> 866, 32 -> 825,
@@ -282,6 +386,58 @@ def main():
         "n_devices": len(devices),
     }))
 
+    train_fields = {}
+    if not args.skip_train:
+        B_l, T = 16, cfg.il.max_traj_len
+        learn_ms = measure_learn_step(cfg, batch=B_l)
+        train_base = train_baseline(cfg)
+        trained_steps = B_l * T / (learn_ms / 1e3)
+        print(json.dumps({
+            "metric": "learn_step_ms",
+            "value": round(learn_ms, 2),
+            "unit": f"ms per fused rollout-replay train update "
+                    f"(B={B_l} envs x T={T} steps, grads+AdamW)",
+            "vs_baseline": round(trained_steps / train_base, 3),
+            "trained_planner_steps_per_sec": round(trained_steps, 1),
+            "baseline_trained_steps_per_sec": round(train_base, 1),
+            "baseline_model": {
+                "flops_per_trained_step": flops_per_trained_step(cfg),
+                "a100_peak_flops": A100_PEAK_FLOPS,
+                "assumed_utilization": PLANNER_A100_UTILIZATION,
+            },
+            "n_devices": 1,
+        }))
+        seq_s, seq_phases = measure_train_iteration(cfg, num_envs=8,
+                                                    pipelined=False)
+        pip_s, pip_phases = measure_train_iteration(cfg, num_envs=8,
+                                                    pipelined=True)
+        print(json.dumps({
+            "metric": "train_iters_per_sec",
+            "value": round(1 / seq_s, 4),
+            "unit": "full train iterations/s (rollout over 8 "
+                    "GeometricNavEnv envs + fused learn step; reference "
+                    "unit: ss_trainer_ETP.py:482-506)",
+            # the reference publishes no train throughput (BASELINE.md)
+            # and its rollout steps habitat-sim, not the geometric fake
+            # env — no defensible cross-rig baseline exists for the full
+            # iteration, so this metric carries no vs_baseline claim
+            "vs_baseline": None,
+            "sec_per_iter": round(seq_s, 3),
+            "phase_means_s": seq_phases,
+            "pipelined_sec_per_iter": round(pip_s, 3),
+            "pipeline_speedup": round(seq_s / pip_s, 3),
+            "pipeline_note": "on this rig rollout time is dominated by "
+                "observation upload over the serial axon tunnel "
+                "(~14 MB/step at ~17 MB/s), which pool-splitting cannot "
+                "parallelize; on a production host the link is ~1000x "
+                "faster and the overlap targets sim-vs-device time",
+            "n_devices": 1,
+        }))
+        train_fields = {
+            "learn_step_ms": round(learn_ms, 2),
+            "train_iters_per_sec": round(1 / seq_s, 4),
+        }
+
     panos = measure_perception(cfg, params, batch_per_device=args.batch,
                                iters=args.iters, devices=devices)
     base = perception_baseline(cfg)
@@ -299,6 +455,7 @@ def main():
         "n_devices": len(devices),
         "planner_steps_per_sec": round(nav_steps, 2),
         "planner_vs_baseline": round(nav_steps / nav_base, 3),
+        **train_fields,
     }))
 
 

@@ -346,3 +346,113 @@ class MP3DTrajectoryData:
                         break
         out["global_act_labels"] = np.int64(label)
         return out
+
+
+# ---------------------------------------------------------------------------
+# store-validation CLI (real-artifact drill)
+# ---------------------------------------------------------------------------
+
+def check_store(anno_files: List[str], img_ft_file: str, dep_ft_file: str,
+                connectivity_dir: str, *, shapes: PretrainShapes = None,
+                sample: bool = True, print_fn=print) -> dict:
+    """Validate a real MP3D pretraining store's schema and report what it
+    would train on — the one-command drill for the environment-blocked
+    real-data gate (reference artifacts: pretrain_src data/dataset.py
+    anno jsons + img_features/dep_features HDF5 + connectivity/).
+
+    Checks, erroring with actionable messages:
+    - every annotation references a scan with a connectivity file and
+      viewpoints present in that graph;
+    - every path viewpoint has an HDF5 row in both stores under the
+      '{scan}_{vp}' key layout;
+    - feature widths match (512 CLIP / 512+prob-augmented, 128 depth);
+    - draws one sample batch per supported task when sample=True.
+    Returns a summary dict (also printed as one JSON line).
+    """
+    import collections
+
+    import h5py
+
+    data = load_annotations(anno_files, max_txt_len=200)
+    if not data:
+        raise ValueError(f"no annotations found in {anno_files}")
+    by_scan = collections.Counter(it["scan"] for it in data)
+    summary = {"annotations": len(data), "scans": len(by_scan),
+               "anno_files": list(anno_files)}
+
+    graphs = {}
+    for scan in by_scan:
+        try:
+            graphs[scan] = ScanGraph(connectivity_dir, scan)
+        except FileNotFoundError as e:
+            raise FileNotFoundError(
+                f"scan {scan!r} referenced by annotations has no "
+                f"connectivity file under {connectivity_dir!r}") from e
+    summary["viewpoints"] = sum(len(g.vp_ids) for g in graphs.values())
+
+    widths = {}
+    for name, path in (("img", img_ft_file), ("dep", dep_ft_file)):
+        with h5py.File(path, "r") as f:
+            keys = set(f.keys())
+            missing = []
+            for it in data:
+                for vp in it["path"]:
+                    if f"{it['scan']}_{vp}" not in keys:
+                        missing.append(f"{it['scan']}_{vp}")
+            if missing:
+                raise KeyError(
+                    f"{name} store {path!r} is missing {len(missing)} "
+                    f"'{{scan}}_{{vp}}' rows referenced by annotations, "
+                    f"e.g. {missing[:5]}")
+            first = f[f"{data[0]['scan']}_{data[0]['path'][0]}"]
+            widths[name] = (int(first.shape[0]), int(first.shape[-1]))
+    summary["img_store"] = {"views": widths["img"][0],
+                            "cols": widths["img"][1]}
+    summary["dep_store"] = {"views": widths["dep"][0],
+                            "cols": widths["dep"][1]}
+
+    if shapes is None:
+        img_cols = widths["img"][1]
+        shapes = PretrainShapes(
+            max_txt_len=80, max_traj_steps=10,
+            num_views=widths["img"][0], max_cands=10, max_gmap_len=64,
+            image_feat_size=min(img_cols, 512),
+            depth_feat_size=widths["dep"][1],
+            vocab_size=30522, mask_token_id=103,
+            mask_vocab_range=(1000, 29000),
+            image_prob_size=max(img_cols - 512, 0))
+    prob_augmented = widths["img"][1] > shapes.image_feat_size
+    summary["mrc_capable"] = bool(prob_augmented)
+    tasks = ["mlm", "sap"] + (["mrc"] if prob_augmented else [])
+    summary["tasks"] = tasks
+
+    if sample:
+        src = MP3DTrajectoryData(shapes, anno_files, img_ft_file,
+                                 dep_ft_file, connectivity_dir, seed=0)
+        shapes_out = {}
+        for task in tasks:
+            b = src.sample_batch(2, task)
+            shapes_out[task] = {k: list(v.shape) for k, v in b.items()
+                                if hasattr(v, "shape")}
+        summary["sample_batch_shapes"] = shapes_out
+    print_fn(json.dumps(summary))
+    return summary
+
+
+def main(args=None):
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="Validate a real MP3D pretraining store (drill for "
+                    "the blocked real-data gate)")
+    ap.add_argument("--anno", nargs="+", required=True)
+    ap.add_argument("--img-store", required=True)
+    ap.add_argument("--dep-store", required=True)
+    ap.add_argument("--connectivity", required=True)
+    ap.add_argument("--no-sample", action="store_true")
+    ns = ap.parse_args(args)
+    check_store(ns.anno, ns.img_store, ns.dep_store, ns.connectivity,
+                sample=not ns.no_sample)
+
+
+if __name__ == "__main__":
+    main()

@@ -91,6 +91,11 @@ class StepTimer:
     def means(self) -> Dict[str, float]:
         return {k: sum(v) / len(v) for k, v in self._acc.items() if v}
 
+    def reset(self):
+        """Drop accumulated phases (e.g. to exclude compile warmup from
+        a measurement window)."""
+        self._acc.clear()
+
 
 @contextlib.contextmanager
 def trace(logdir: str):

@@ -59,3 +59,10 @@ def _clear_jax_caches_between_modules():
         import resource
         with open(log, "a") as f:
             f.write(f"{resource.getrusage(resource.RUSAGE_SELF).ru_maxrss}\n")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "habitat: real habitat-sim smoke (skips when habitat is absent; "
+        "run with `pytest -m habitat`)")

@@ -53,3 +53,16 @@ def test_measure_sharded_8dev_cpu_mesh():
                                   iters=2, devices=devs)
     assert np.isfinite(panos) and panos > 0
     assert np.isfinite(steps) and steps > 0
+
+
+def test_train_metrics_cpu():
+    """The training-path bench sections must run on the CPU backend:
+    learn-step timing at tiny shapes and one rollout+learn iteration."""
+    cfg = tiny_config()
+    ms = bench.measure_learn_step(cfg, batch=2, chain=2, repeats=1)
+    assert np.isfinite(ms) and ms > 0
+    assert 0 < bench.flops_per_trained_step(r2r_config()) < 5e10
+    assert bench.train_baseline(r2r_config()) > 0
+    sec, phases = bench.measure_train_iteration(cfg, num_envs=2, iters=1)
+    assert np.isfinite(sec) and sec > 0
+    assert "rollout" in phases and "learn" in phases

@@ -33,8 +33,14 @@ def verify(goldens_dir: str, planner_ckpt: str, waypoint_ckpt: str,
     cfg = (C.r2r_config() if task_type == "r2r" else C.rxr_config()).planner
     import dataclasses
     cfg = dataclasses.replace(cfg, use_bf16=False)
-    params = convert_planner(torch.load(planner_ckpt, map_location="cpu"),
-                             cfg.num_l_layers, cfg.num_pano_layers,
+    ckpt = torch.load(planner_ckpt, map_location="cpu")
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        # released finetune files nest the weights ({'state_dict':
+        # {'net.module.vln_bert.*'}}, ss_trainer_ETP.py:74-83); pretrain
+        # files are flat 'bert.*' dicts — caught by the CI drill
+        # (tests/test_artifact_drills.py)
+        ckpt = ckpt["state_dict"]
+    params = convert_planner(ckpt, cfg.num_l_layers, cfg.num_pano_layers,
                              cfg.num_x_layers)
 
     ok = True

@@ -234,8 +234,17 @@ def measure_planner(cfg, params, *, batch_per_device: int = 16,
 
     def chained(params, txt, gmap, xs):
         def body(carry, x):
-            t = txt + x.astype(jnp.float32) * 1e-6
-            out = agent_lib.score_navigation(params, cfg, t, txt_m, gmap)
+            # perturb EVERY production-varying input: the rollout
+            # dispatches a fresh graph every step, so the gmap-side
+            # embedding/sprel construction must not be scan-hoisted
+            # (txt-only perturbation overstated throughput ~1.6%,
+            # tools/exp_nav_bisect.py full vs full_txt_only, v5e-1)
+            eps = x.astype(jnp.float32) * 1e-6
+            t = txt + eps
+            g = dict(gmap, img_fts=gmap["img_fts"] + eps,
+                     pair_dists=gmap["pair_dists"] + eps,
+                     pos_fts=gmap["pos_fts"] + eps)
+            out = agent_lib.score_navigation(params, cfg, t, txt_m, g)
             logits = jnp.where(jnp.isfinite(out["global_logits"]),
                                out["global_logits"], 0.0)
             return carry + logits.sum(), None

@@ -75,8 +75,8 @@ def measure_variant(name, cfg, params, B, iters, variant="full", G=None,
     import jax.numpy as jnp
 
     from etpnav_tpu.models import planner as planner_lib
+    from etpnav_tpu.models.bert_core import bert_ffn
     from etpnav_tpu.ops.attention import (
-        bert_ffn,
         cross_attention_block,
         self_attention_block,
     )
@@ -86,18 +86,32 @@ def measure_variant(name, cfg, params, B, iters, variant="full", G=None,
     txt, txt_m, gmap = make_inputs(cfg, B, G=G, L=L)
     dtype = jnp.bfloat16 if p.use_bf16 else jnp.float32
 
-    if variant == "full":
+    if variant in ("full", "full_txt_only"):
+        # full: EVERY production-varying input is perturbed from the xs
+        # stream — in the real rollout the gmap changes every step, so
+        # the embed/sprel construction must not be scan-hoisted.
+        # full_txt_only: the (flawed) txt-only perturbation that lets
+        # XLA hoist the gmap-side work — kept to quantify the hoisting
+        # error of the original bench formulation.
+        perturb_gmap = variant == "full"
         def once(params, txt, gmap):
             return agent_lib.score_navigation(
                 params, cfg, txt, txt_m, gmap)["global_logits"]
         def chained(params, txt, gmap, xs):
             def body(c, x):
-                t = txt + x.astype(jnp.float32) * 1e-6
-                out = once(params, t, gmap)
+                eps = x.astype(jnp.float32) * 1e-6
+                t = txt + eps
+                g = gmap
+                if perturb_gmap:
+                    g = dict(gmap,
+                             img_fts=gmap["img_fts"] + eps,
+                             pair_dists=gmap["pair_dists"] + eps,
+                             pos_fts=gmap["pos_fts"] + eps)
+                out = once(params, t, g)
                 return c + jnp.where(jnp.isfinite(out), out, 0.0).sum(), None
             c, _ = jax.lax.scan(body, jnp.float32(0), xs)
             return c
-        args3 = (params, txt, gmap)
+        args3 = (params, jax.device_put(txt), jax.device_put(gmap))
     else:
         ge = params.planner["global_encoder"]
         stack = ge["encoder"]
@@ -176,6 +190,8 @@ def main():
         backend=jax.default_backend())
 
     full = measure_variant("full", cfg, params, B, iters)
+    measure_variant("full_txt_only", cfg, params, B, iters,
+                    variant="full_txt_only")
     measure_variant("stack_only", cfg, params, B, iters,
                     variant="stack_only")
     measure_variant("cross_only", cfg, params, B, iters,
@@ -192,11 +208,12 @@ def main():
         cfg, planner=dataclasses.replace(cfg.planner, use_bf16=False))
     measure_variant("fp32", f32, params, B, iters)
 
-    old = attn.USE_FUSED_ATTENTION
-    for flag in (True, False):
-        attn.USE_FUSED_ATTENTION = flag
-        measure_variant(f"fused={flag}", cfg, params, B, iters)
-    attn.USE_FUSED_ATTENTION = old
+    if jax.default_backend() == "tpu":    # Pallas path needs hardware
+        old = attn.USE_FUSED_ATTENTION
+        for flag in (True, False):
+            attn.USE_FUSED_ATTENTION = flag
+            measure_variant(f"fused={flag}", cfg, params, B, iters)
+        attn.USE_FUSED_ATTENTION = old
 
     if not args.quick:
         for G in (16, 32, 48):

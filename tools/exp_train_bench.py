@@ -99,14 +99,14 @@ def dense_from_sparse(batch, P):
     return w
 
 
-def time_learn_step(cfg, B, chain, repeats, dense=False):
+def time_learn_step(cfg, B, chain, repeats, dense=False, dropout=True):
     import jax
     import jax.numpy as jnp
     import optax
 
     from etpnav_tpu.models import planner as planner_lib
     from etpnav_tpu.training.finetune import compute_il_loss, \
-        make_il_optimizer
+        make_il_optimizer, replay_logits
 
     host = synth_batch(cfg, B, rng=0)
     if dense:
@@ -122,10 +122,30 @@ def time_learn_step(cfg, B, chain, repeats, dense=False):
     batch = jax.device_put(host)
     nbytes = sum(v.nbytes for v in host.values())
 
+    if dropout:
+        loss_fn = compute_il_loss
+    else:
+        # dropout/RNG cost bound: same differentiable path, train=False
+        # replay (no dropout masks, no threefry traffic)
+        def loss_fn(planner_params, cfg_, batch_, rng_):
+            import jax.numpy as jnp
+            logits = replay_logits(planner_params, cfg_, batch_, rng=None,
+                                   train=False)
+            teacher = batch_["teacher"]
+            valid = (teacher >= 0) & batch_["step_valid"]
+            safe_t = jnp.maximum(teacher, 0)
+            logp = jax.nn.log_softmax(
+                jnp.where(jnp.isfinite(logits), logits, -1e9), axis=-1)
+            nll = -jnp.take_along_axis(
+                logp, safe_t[..., None], axis=-1)[..., 0]
+            total = jnp.maximum(batch_["step_valid"].sum(), 1)
+            return cfg_.il.ml_weight * jnp.where(
+                valid, nll, 0.0).sum() / total
+
     def chained(params, opt_state, batch, rngs):
         def body(carry, rng):
             params, opt_state = carry
-            loss, grads = jax.value_and_grad(compute_il_loss)(
+            loss, grads = jax.value_and_grad(loss_fn)(
                 params, cfg, batch, rng)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -146,7 +166,8 @@ def time_learn_step(cfg, B, chain, repeats, dense=False):
         np.asarray(fn(params, opt_state, batch, rngs))
         times.append(time.perf_counter() - t0)
     ms = min(times) / chain * 1e3
-    log(section="learn_step", agg="dense" if dense else "sparse", B=B,
+    log(section="learn_step", agg="dense" if dense else "sparse",
+        dropout=dropout, B=B,
         T=cfg.il.max_traj_len, G=cfg.planner.max_gmap_len,
         ms_per_step=round(ms, 2), steps_per_sec=round(1e3 / ms, 2),
         samples_per_sec=round(B * 1e3 / ms, 1),
@@ -197,14 +218,21 @@ def main():
     ap.add_argument("--mode", default="all",
                     choices=["all", "learn", "iter"])
     ap.add_argument("--skip-dense", action="store_true")
+    ap.add_argument("--fp32", action="store_true",
+                    help="planner use_bf16=False A/B")
     args = ap.parse_args()
 
     import jax
 
+    import dataclasses
+
     from etpnav_tpu.config import r2r_config
     cfg = r2r_config()
+    if args.fp32:
+        cfg = dataclasses.replace(
+            cfg, planner=dataclasses.replace(cfg.planner, use_bf16=False))
     log(section="env", devices=str(jax.devices()),
-        backend=jax.default_backend())
+        backend=jax.default_backend(), fp32=args.fp32)
 
     if args.mode in ("all", "learn"):
         sparse_ms = time_learn_step(cfg, args.batch, args.chain,
@@ -214,6 +242,11 @@ def main():
                                        args.repeats, dense=True)
             log(section="learn_ab",
                 sparse_vs_dense=round(dense_ms / sparse_ms, 3))
+        nodrop_ms = time_learn_step(cfg, args.batch, args.chain,
+                                    args.repeats, dropout=False)
+        log(section="dropout_cost",
+            ms_with=round(sparse_ms, 2), ms_without=round(nodrop_ms, 2),
+            dropout_overhead=round(sparse_ms / nodrop_ms - 1, 3))
     if args.mode in ("all", "iter"):
         seq = time_iteration(cfg, args.envs, args.iters, pipelined=False)
         pip = time_iteration(cfg, args.envs, args.iters, pipelined=True)

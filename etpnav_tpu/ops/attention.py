@@ -52,6 +52,9 @@ def mha_init(key: jax.Array, dim: int, ctx_dim: Optional[int] = None) -> dict:
 #   nav-graph scoring keeps XLA).
 USE_FUSED_ATTENTION: Optional[bool] = None
 USE_FUSED_ATTENTION_NOBIAS: Optional[bool] = None   # None = auto (TPU on)
+# Cross-batch 'one big GEMM' kernel for the nobias path (tiny-L shapes);
+# experimental switch for tools/exp_attn_xbatch.py until measured.
+USE_XBATCH_ATTENTION: bool = False
 
 
 def _fused_enabled(Lk: int = 0) -> bool:
@@ -107,8 +110,13 @@ def mha(params: dict, q_in: jax.Array, kv_in: jax.Array, num_heads: int,
         from etpnav_tpu.ops.pallas_attention import (
             fused_attention,
             fused_attention_nhd,
+            fused_attention_xbatch,
         )
         scale = 1.0 / math.sqrt(hd)
+        if USE_XBATCH_ATTENTION and Lq == Lk:
+            ctx2d = fused_attention_xbatch(q2d, k2d, v2d, scale,
+                                           num_heads=H)
+            return linear(params["o"], ctx2d)
         for hpb in (4, 2):
             if Lq == Lk and (hpb * hd) % 128 == 0 and H % hpb == 0:
                 ctx2d = fused_attention_nhd(q2d, k2d, v2d, scale,

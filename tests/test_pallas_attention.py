@@ -219,6 +219,35 @@ def test_fused_attention_nhd_matches_xla(rng):
         np.testing.assert_allclose(got, want, atol=2e-6)
 
 
+def test_fused_attention_xbatch_matches_xla(rng):
+    """Cross-batch 'one big GEMM + block-diagonal mask' kernel equals
+    per-sample attention: the -inf off-diagonal blocks must zero every
+    cross-batch probability, including with non-divisible block sizes."""
+    import math
+
+    from etpnav_tpu.ops.pallas_attention import fused_attention_xbatch
+
+    B, L, H, hd = 6, 10, 8, 16
+    D = H * hd
+    scale = 1.0 / math.sqrt(hd)
+    q = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+
+    qh = q.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * scale
+    p = jax.nn.softmax(logits, -1)
+    want = np.asarray(jnp.einsum("bhqk,bhkd->bhqd", p, vh)
+                      .transpose(0, 2, 1, 3).reshape(B, L, D))
+
+    for blk in (1, 2, 3, 4, 6):
+        got = np.asarray(fused_attention_xbatch(
+            q, k, v, scale, num_heads=H, block_b=blk, interpret=True))
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
+
 def test_fused_heatmap_nms_matches_xla_chain(rng):
     """One-kernel softmax+wrap+NMS equals the XLA chain exactly,
     including the reference's asymmetric circular-distance wrap quirk."""

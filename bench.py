@@ -377,8 +377,20 @@ def main():
         devices = devices[:args.devices]
     params = agent_lib.init_agent_params(jax.random.PRNGKey(0), cfg)
 
-    nav_steps = measure_planner(cfg, params, batch_per_device=args.batch,
+    # headline measures the SERVING nav program (nav stack fp32 — the
+    # run.py serve default: 12% faster at B<=16/G<=64 scoring shapes,
+    # tools/exp_nav_bisect.py; the reference likewise evaluates outside
+    # autocast, ss_trainer_ETP.py:502). The training-dtype (bf16)
+    # program is reported alongside.
+    import dataclasses as _dc
+    serve_cfg = _dc.replace(cfg, planner=_dc.replace(
+        cfg.planner, nav_use_bf16=False))
+    nav_steps = measure_planner(serve_cfg, params,
+                                batch_per_device=args.batch,
                                 devices=devices)
+    nav_steps_bf16 = measure_planner(cfg, params,
+                                     batch_per_device=args.batch,
+                                     devices=devices)
     nav_base = planner_baseline(cfg)
     print(json.dumps({
         "metric": "planner_steps_per_sec",
@@ -387,6 +399,7 @@ def main():
                 f"G={cfg.planner.max_gmap_len} L={cfg.planner.max_txt_len})",
         "vs_baseline": round(nav_steps / nav_base, 3),
         "baseline_steps_per_sec": round(nav_base, 1),
+        "bf16_steps_per_sec": round(nav_steps_bf16, 2),
         "baseline_model": {
             "flops_per_step": flops_per_nav_step(cfg),
             "a100_peak_flops": A100_PEAK_FLOPS,

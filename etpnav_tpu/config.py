@@ -9,7 +9,7 @@ and vlnce_baselines/models/etp/vlnbert_init.py:38-59 in the reference.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,6 +70,12 @@ class PlannerConfig:
 
     # compute dtype for the transformer stacks
     use_bf16: bool = True
+    # navigation (global graph) stack dtype override: None follows
+    # use_bf16. fp32 measured FASTER at rollout scoring shapes on v5e
+    # (<=1024x768 GEMMs pay bf16 casts without reaching the bf16 MXU
+    # rate — tools/exp_nav_bisect.py); rollout and learn replay share
+    # this flag so replay-equivalence holds whichever way it points.
+    nav_use_bf16: Optional[bool] = None
 
     @property
     def head_dim(self) -> int:

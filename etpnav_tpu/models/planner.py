@@ -445,7 +445,9 @@ def forward_navigation(params: dict, cfg: PlannerConfig,
         sprel = gmap_pair_dists[..., None] * sl["w"][0, 0] + sl["b"][0]
         visn_bias = visn_bias + sprel[..., 0][:, None, :, :]
 
-    dtype = jnp.bfloat16 if cfg.use_bf16 else x.dtype
+    nav_bf16 = (cfg.use_bf16 if cfg.nav_use_bf16 is None
+                else cfg.nav_use_bf16)
+    dtype = jnp.bfloat16 if nav_bf16 else x.dtype
     gmap_embeds = _x_stack(ge["encoder"], cfg, x.astype(dtype),
                            txt_embeds.astype(dtype), txt_bias, visn_bias,
                            rng=r1, train=train).astype(jnp.float32)

@@ -269,6 +269,44 @@ def test_x_layer_matches_torch_golden(rng):
     np.testing.assert_allclose(ours, theirs, atol=3e-5)
 
 
+def test_nav_dtype_override(rng):
+    """PlannerConfig.nav_use_bf16 steers ONLY the navigation stack:
+    None follows use_bf16; an explicit value overrides it. fp32 nav on
+    a bf16 config must agree with the all-fp32 config to bf16-cast
+    tolerance of the inputs (the stack itself runs full precision)."""
+    import dataclasses
+
+    params = planner.init_planner_params(jax.random.PRNGKey(0), CFG)
+    B, G, L, D = 2, 8, CFG.max_txt_len, CFG.hidden_size
+    txt = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    txt_m = jnp.ones((B, L), bool)
+    img = jnp.asarray(rng.standard_normal((B, G, D)), jnp.float32)
+    steps = jnp.zeros((B, G), jnp.int32)
+    pos = jnp.asarray(rng.standard_normal((B, G, 7)), jnp.float32)
+    mask = jnp.ones((B, G), bool)
+    visited = jnp.zeros((B, G), bool)
+    dists = jnp.asarray(abs(rng.standard_normal((B, G, G))), jnp.float32)
+
+    def nav(cfg):
+        return planner.forward_navigation(
+            params, cfg, txt, txt_m, img, steps, pos, mask, visited,
+            dists)["global_logits"]
+
+    fp32 = nav(CFG)                                      # use_bf16=False
+    # explicit fp32 override on a bf16 base config: the nav stack must
+    # run fp32 (matches the all-fp32 result exactly — same ops, same
+    # dtype) even though use_bf16 says bf16
+    bf16_base = dataclasses.replace(CFG, use_bf16=True)
+    forced_fp32 = nav(dataclasses.replace(bf16_base, nav_use_bf16=False))
+    np.testing.assert_allclose(np.asarray(forced_fp32), np.asarray(fp32),
+                               atol=1e-6)
+    # None follows use_bf16: the bf16 path differs from fp32 by cast
+    # noise but stays finite where unmasked
+    followed = np.asarray(nav(bf16_base))
+    assert np.isfinite(followed[mask]).all()
+    assert abs(followed - np.asarray(fp32)).max() > 0  # actually bf16
+
+
 def test_converted_planner_roundtrip():
     """convert_planner over a synthetic reference-layout state_dict must
     produce a tree matching init_planner_params() shapes exactly."""

@@ -220,6 +220,10 @@ def main():
     ap.add_argument("--skip-dense", action="store_true")
     ap.add_argument("--fp32", action="store_true",
                     help="planner use_bf16=False A/B")
+    ap.add_argument("--nav-fp32", action="store_true",
+                    help="nav_use_bf16=False A/B (nav stack only)")
+    ap.add_argument("--quick", action="store_true",
+                    help="learn: sparse+dropout program only")
     args = ap.parse_args()
 
     import jax
@@ -231,12 +235,19 @@ def main():
     if args.fp32:
         cfg = dataclasses.replace(
             cfg, planner=dataclasses.replace(cfg.planner, use_bf16=False))
+    if args.nav_fp32:
+        cfg = dataclasses.replace(
+            cfg, planner=dataclasses.replace(cfg.planner,
+                                             nav_use_bf16=False))
     log(section="env", devices=str(jax.devices()),
-        backend=jax.default_backend(), fp32=args.fp32)
+        backend=jax.default_backend(), fp32=args.fp32,
+        nav_fp32=args.nav_fp32)
 
     if args.mode in ("all", "learn"):
         sparse_ms = time_learn_step(cfg, args.batch, args.chain,
                                     args.repeats)
+        if args.quick:
+            return
         if not args.skip_dense:
             dense_ms = time_learn_step(cfg, args.batch, args.chain,
                                        args.repeats, dense=True)

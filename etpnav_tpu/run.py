@@ -287,6 +287,23 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def serving_config(cfg):
+    """Config adjustments for the inference-only serving surface.
+
+    The nav stack runs fp32 at serving shapes (B<=16, G<=64): measured
+    12% faster than bf16 on v5e (tools/exp_nav_bisect.py: 0.884 vs
+    1.001 ms) — the bf16 casts don't pay at <=1024x768 GEMM sizes.
+    Training keeps bf16 (learn-phase replay at B*T rows measured 11%
+    slower in fp32, tools/exp_train_bench.py --nav-fp32); the reference
+    likewise autocasts only the train rollout (ss_trainer_ETP.py:502)
+    and evaluates fp32. An explicit PLANNER.nav_use_bf16 wins."""
+    import dataclasses
+    if cfg.planner.nav_use_bf16 is None:
+        cfg = dataclasses.replace(cfg, planner=dataclasses.replace(
+            cfg.planner, nav_use_bf16=False))
+    return cfg
+
+
 def run(args=None):
     from etpnav_tpu.config_yaml import load_config, parse_cli_opts
     args = build_parser().parse_args(args)
@@ -301,17 +318,7 @@ def run(args=None):
             raise ValueError("serving exposes the SS-ETP policy; "
                              f"--trainer {args.trainer} has no session "
                              "surface")
-        # serving-shape nav scoring (B<=16, G<=64) measured 12% faster
-        # in fp32 on v5e (tools/exp_nav_bisect.py: 0.884 vs 1.001 ms) —
-        # the bf16 casts don't pay at <=1024x768 GEMM sizes. Training
-        # keeps bf16 (learn-phase replay at B*T rows measured 11% slower
-        # in fp32, tools/exp_train_bench.py --nav-fp32); the reference
-        # likewise autocasts only the train rollout
-        # (ss_trainer_ETP.py:502) and evaluates fp32.
-        if cfg.planner.nav_use_bf16 is None:
-            import dataclasses
-            cfg = dataclasses.replace(cfg, planner=dataclasses.replace(
-                cfg.planner, nav_use_bf16=False))
+        cfg = serving_config(cfg)
         # no envs: the service's clients own their simulators/cameras
         from etpnav_tpu.training.finetune import FinetuneTrainer
         trainer = FinetuneTrainer(cfg, None, ckpt_dir=args.ckpt_dir,

@@ -266,3 +266,19 @@ def test_panorama_to_equirect():
     assert eq.shape == (16, 48, 1)
     batched = panorama_to_equirect(jnp.stack([views, views]), (8, 24))
     assert batched.shape == (2, 8, 24, 1)
+
+
+def test_serving_config_nav_fp32():
+    """run.py serve runs the nav stack fp32 unless PLANNER.nav_use_bf16
+    is set explicitly (tools/exp_nav_bisect.py adoption)."""
+    import dataclasses
+
+    from etpnav_tpu.config import tiny_config
+    from etpnav_tpu.run import serving_config
+
+    cfg = tiny_config()
+    assert cfg.planner.nav_use_bf16 is None
+    assert serving_config(cfg).planner.nav_use_bf16 is False
+    forced = dataclasses.replace(
+        cfg, planner=dataclasses.replace(cfg.planner, nav_use_bf16=True))
+    assert serving_config(forced).planner.nav_use_bf16 is True

@@ -12,6 +12,19 @@ roofline. This probe bisects the remaining 2.6 ms:
 Timing uses the honest chained-scan harness (input perturbed from the
 scan stream each iteration; see bench.py docstring).
 
+RESULT (v5e-1, 2026-08-19, B=192, ms): stem 0.94 / thru_l1 1.65 /
+thru_l2 2.19 / thru_l3 2.40 / thru_l4 2.51 / full_bf16 2.56 — the stem
+(C_in=1 7x7/s2 conv + GN + maxpool) is 37% of the trunk; layers 3-4 are
+nearly free. Variants ALL REJECTED: full_fp32 4.42 (1.7x), nostats 1.88
+(bounds GN stats at ~0.68 ms), bf16-stats 2.59 (flat), MXU-stats 3.86
+(the [x, x^2] concat materialization swamps the reduction win),
+row-GEMM stem exact to 7e-7 but 1.26 vs 0.70 ms isolated and 5.44 ms
+full trunk (stacking row shifts costs more than lax.conv — the
+128x-lane-padding theory of the stem cost is wrong). Third stem
+reformulation rejected (im2col r2, s2d r2, row-GEMM r3): the trunk is
+at its measured floor short of a fused conv+GN Pallas kernel with
+cross-block stats.
+
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/exp_depth_r3.py
 """
 

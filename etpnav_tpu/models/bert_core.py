@@ -124,6 +124,14 @@ def bert_layer(params: dict, x: jax.Array, bias: Optional[jax.Array],
                     hidden_dropout=dims.hidden_dropout, rng=r2, train=train)
 
 
+# lax.scan unroll factor for every transformer stack (bert_stack,
+# prenorm_stack, and the planner x-layer stacks, which read this at trace
+# time). 1 = rolled (one compiled body). tools/exp_learn_bisect.py A/Bs
+# full unroll on the fused learn step the way exp_scan_unroll.py did for
+# the ViT (where straight-line blocks let XLA overlap weight DMA).
+SCAN_UNROLL: int = 1
+
+
 def bert_stack_init(key: jax.Array, num_layers: int, hidden: int,
                     intermediate: int) -> dict:
     """Stack num_layers of bert_layer params on a leading axis for scan."""
@@ -149,9 +157,9 @@ def bert_stack(params: dict, x: jax.Array, bias: Optional[jax.Array],
     if rng is None:
         def body_norng(h, layer_params):
             return bert_layer(layer_params, h, bias, dims, train=train), None
-        x, _ = jax.lax.scan(body_norng, x, params)
+        x, _ = jax.lax.scan(body_norng, x, params, unroll=SCAN_UNROLL)
     else:
-        x, _ = jax.lax.scan(body, x, (params, rngs))
+        x, _ = jax.lax.scan(body, x, (params, rngs), unroll=SCAN_UNROLL)
     return x
 
 
@@ -208,7 +216,7 @@ def prenorm_stack(params: dict, x: jax.Array, bias: Optional[jax.Array],
         def body(h, layer_params):
             return prenorm_layer(layer_params, h, bias, dims,
                                  train=train), None
-        x, _ = jax.lax.scan(body, x, params["layers"])
+        x, _ = jax.lax.scan(body, x, params["layers"], unroll=SCAN_UNROLL)
     else:
         rngs = jax.random.split(rng, num_layers)
 
@@ -216,7 +224,8 @@ def prenorm_stack(params: dict, x: jax.Array, bias: Optional[jax.Array],
             layer_params, layer_rng = xs
             return prenorm_layer(layer_params, h, bias, dims, rng=layer_rng,
                                  train=train), None
-        x, _ = jax.lax.scan(body, x, (params["layers"], rngs))
+        x, _ = jax.lax.scan(body, x, (params["layers"], rngs),
+                            unroll=SCAN_UNROLL)
     return layer_norm(x, params["final_ln"]["scale"],
                       params["final_ln"]["bias"], final_eps)
 

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from etpnav_tpu.config import PlannerConfig
+from etpnav_tpu.models import bert_core
 from etpnav_tpu.models.bert_core import (
     BertDims,
     bert_embeddings,
@@ -243,7 +244,8 @@ def _x_stack(params: dict, cfg: PlannerConfig, visn: jax.Array,
         def body(h, layer_params):
             return _x_layer(layer_params, cfg, h, txt, txt_bias, visn_bias,
                             train=train), None
-        visn, _ = jax.lax.scan(body, visn, params)
+        visn, _ = jax.lax.scan(body, visn, params,
+                               unroll=bert_core.SCAN_UNROLL)
     else:
         rngs = jax.random.split(rng, num_layers)
 
@@ -251,7 +253,8 @@ def _x_stack(params: dict, cfg: PlannerConfig, visn: jax.Array,
             layer_params, layer_rng = xs
             return _x_layer(layer_params, cfg, h, txt, txt_bias, visn_bias,
                             rng=layer_rng, train=train), None
-        visn, _ = jax.lax.scan(body, visn, (params, rngs))
+        visn, _ = jax.lax.scan(body, visn, (params, rngs),
+                               unroll=bert_core.SCAN_UNROLL)
     return visn
 
 
@@ -288,7 +291,8 @@ def lang2visn_stack(params: dict, cfg: PlannerConfig, lang: jax.Array,
         def body(h, layer_params):
             return _lang2visn_layer(layer_params, cfg, h, visn, lang_bias,
                                     visn_bias, train=train), None
-        lang, _ = jax.lax.scan(body, lang, params)
+        lang, _ = jax.lax.scan(body, lang, params,
+                               unroll=bert_core.SCAN_UNROLL)
     else:
         rngs = jax.random.split(rng, cfg.num_x_layers)
 
@@ -297,7 +301,8 @@ def lang2visn_stack(params: dict, cfg: PlannerConfig, lang: jax.Array,
             return _lang2visn_layer(layer_params, cfg, h, visn, lang_bias,
                                     visn_bias, rng=layer_rng,
                                     train=train), None
-        lang, _ = jax.lax.scan(body, lang, (params, rngs))
+        lang, _ = jax.lax.scan(body, lang, (params, rngs),
+                               unroll=bert_core.SCAN_UNROLL)
     return lang
 
 

@@ -52,7 +52,7 @@ def main():
     ap.add_argument("--chain", type=int, default=8)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--variants", default="full,sgd,fwd,no_dropout,rbg,"
-                    "components")
+                    "unroll,components")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config on CPU (probe smoke test)")
     args = ap.parse_args()
@@ -172,6 +172,22 @@ def main():
                 compile_s=round(cs, 1))
         except Exception as e:   # pragma: no cover - depends on jaxlib
             log(section="learn_bisect", variant="rbg", error=repr(e))
+
+    if "unroll" in variants:
+        # fully unrolled transformer stacks (bert_core.SCAN_UNROLL): the
+        # ViT won +4.4% from straight-line blocks (exp_scan_unroll.py);
+        # does the scanned 9/2/4-layer planner train step?
+        from etpnav_tpu.models import bert_core
+        bert_core.SCAN_UNROLL = 16
+        try:
+            fn = chained_train(compute_il_loss, adamw_update)
+            ms, cs = _time(fn, (params, opt_state, batch, rngs),
+                           args.chain, args.repeats)
+            results["unroll"] = ms
+            log(section="learn_bisect", variant="unroll", ms=round(ms, 2),
+                compile_s=round(cs, 1))
+        finally:
+            bert_core.SCAN_UNROLL = 1
 
     if "components" in variants:
         B = args.batch

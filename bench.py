@@ -313,7 +313,11 @@ def measure_learn_step(cfg, *, batch: int = 16, chain: int = 4,
         return losses
 
     fn = jax.jit(chained)
-    rngs = jax.random.split(jax.random.PRNGKey(1), chain)
+    # production dropout-key impl (cfg.il.rng_impl, "rbg" default — the
+    # FinetuneTrainer uses the same; tools/exp_learn_bisect.py measured
+    # threefry at +14.4 ms/step)
+    rngs = jax.random.split(
+        jax.random.key(1, impl=cfg.il.rng_impl), chain)
     np.asarray(fn(params, opt_state, dev_batch, rngs))   # compile+warm
     times = []
     for _ in range(repeats):

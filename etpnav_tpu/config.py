@@ -180,6 +180,13 @@ class ILConfig:
     is_requeue: bool = False
     remat: bool = False          # jax.checkpoint the pano encoder in the
                                  # learn step (memory <-> recompute)
+    # PRNG implementation for the per-iteration dropout keys. "rbg" (a
+    # counter-based XLA RngBitGenerator) cuts the fused learn step from
+    # 147.6 to 133.2 ms on v5e-1 (tools/exp_learn_bisect.py: threefry
+    # mask generation is ~16% of the step; the train=False floor is
+    # 123.8 ms). Statistically equivalent for dropout; set "threefry2x32"
+    # to restore JAX's default splittable generator.
+    rng_impl: str = "rbg"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -215,6 +222,8 @@ class PretrainConfig:
     # trajectory shape buckets
     max_traj_steps: int = 8
     views_per_step: int = 12
+    # dropout-key PRNG implementation (see ILConfig.rng_impl)
+    rng_impl: str = "rbg"
 
 
 @dataclasses.dataclass(frozen=True)

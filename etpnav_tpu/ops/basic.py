@@ -88,11 +88,26 @@ def mask_to_bias(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
     return (1.0 - mask.astype(dtype)) * NEG_INF
 
 
+#: Experimental (tools/exp_learn_bisect.py bits8 variant): draw dropout
+#: masks from uint8 random bits instead of bernoulli's uniform-f32
+#: threshold — 4x fewer random bits per element. The keep probability
+#: quantizes to n/256 (<=0.4% relative shift); inverted scaling uses the
+#: quantized value, so activations stay unbiased at the effective rate.
+DROPOUT_BITS8 = False
+
+
 def maybe_dropout(x: jax.Array, rate: float, rng: Optional[jax.Array],
                   train: bool) -> jax.Array:
     """Inverted dropout; identity when eval or rate==0."""
     if not train or rate == 0.0 or rng is None:
         return x
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
+    if DROPOUT_BITS8:
+        t = int(round(keep * 256))
+        if t >= 256:
+            return x
+        keep = t / 256.0
+        mask = jax.random.bits(rng, x.shape, dtype=jnp.uint8) < jnp.uint8(t)
+    else:
+        mask = jax.random.bernoulli(rng, keep, x.shape)
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)

@@ -19,6 +19,31 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def _is_key(x) -> bool:
+    """True for typed PRNG-key arrays (jax.random.key), which orbax/numpy
+    cannot serialize directly."""
+    try:
+        return jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key)
+    except (AttributeError, TypeError):
+        return False
+
+
+def _unkey(tree: Any) -> Any:
+    """Typed key leaves -> raw uint32 key data (serializable)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.random.key_data(x) if _is_key(x) else x, tree)
+
+
+def _rekey(like: Any, restored: Any) -> Any:
+    """Re-wrap restored key data as typed keys, preserving each leaf's
+    PRNG implementation from the template (ILConfig.rng_impl)."""
+    return jax.tree_util.tree_map(
+        lambda l, r: (jax.random.wrap_key_data(
+            jax.numpy.asarray(r), impl=jax.random.key_impl(l))
+            if _is_key(l) else r),
+        like, restored)
+
+
 def save_checkpoint(path: str, state: Any):
     """Multi-host discipline: params are replicated (dp shards the
     batch; mp shards within a host), so every process holds the full
@@ -27,6 +52,7 @@ def save_checkpoint(path: str, state: Any):
     checkpoint; cross-host-sharded (non-addressable) arrays would need
     orbax's multihost path and fail loudly in device_get below."""
     path = os.path.abspath(path)
+    state = _unkey(state)
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
         if jax.process_index() == 0:
@@ -41,9 +67,10 @@ def load_checkpoint(path: str, like: Any) -> Any:
     """Restore with `like` as the structure/dtype template."""
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
-    template = jax.tree_util.tree_map(np.asarray, jax.device_get(like))
+    template = jax.tree_util.tree_map(
+        np.asarray, jax.device_get(_unkey(like)))
     restored = ckptr.restore(path, item=template)
-    return restored
+    return _rekey(like, restored)
 
 
 def latest_checkpoint(ckpt_dir: str, pattern: str = "ckpt_iter*"

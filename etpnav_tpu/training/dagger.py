@@ -320,7 +320,9 @@ class RecVLNBertDagger:
             updates, opt_state = self.tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
         self._jit_update = _update
-        self._update_key = jax.random.PRNGKey(seed + 1)
+        # rbg dropout keys (see ILConfig.rng_impl: ~16% of a train step is
+        # threefry mask generation on TPU; statistically equivalent)
+        self._update_key = jax.random.key(seed + 1, impl="rbg")
 
     @staticmethod
     def _env_action(a: int, pos_i, tgt):

@@ -392,7 +392,8 @@ class PretrainTrainer:
         self.meta = iter(MetaSampler(self.sampler, cfg.pretrain.batch_size,
                                      cfg.pretrain.task_ratios, seed=seed,
                                      tasks=cfg.pretrain.tasks))
-        self.rng = jax.random.PRNGKey(seed + 1)
+        # dropout keys per step: cfg.pretrain.rng_impl (see ILConfig.rng_impl)
+        self.rng = jax.random.key(seed + 1, impl=cfg.pretrain.rng_impl)
         self.step = 0
 
     def _put(self, batch: Dict[str, np.ndarray]):

@@ -78,7 +78,9 @@ class RolloutEngine:
         self.agent = agent
         self.envs = envs
         self.np_rng = np.random.default_rng(seed)
-        self._jrng = jax.random.PRNGKey(seed)
+        # action-sampling keys follow the trainer's PRNG impl
+        # (ILConfig.rng_impl; rbg default — see finetune.py)
+        self._jrng = jax.random.key(seed, impl=cfg.il.rng_impl)
 
     def _next_rng(self):
         self._jrng, sub = jax.random.split(self._jrng)

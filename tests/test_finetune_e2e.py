@@ -201,11 +201,36 @@ def test_inference_warns_when_split_underdelivers(trainer, monkeypatch,
     assert json.loads(out.read_text())
 
 
+def test_rng_impl_knob(trainer):
+    """ILConfig.rng_impl steers the dropout-key generator: rbg by default
+    (threefry mask generation is ~16% of the fused learn step on v5e-1,
+    tools/exp_learn_bisect.py), threefry restorable via config. Both must
+    train. The module trainer (rbg) already ran iterations above."""
+    import dataclasses
+    import jax
+    assert trainer.cfg.il.rng_impl == "rbg"
+    impl = str(jax.random.key_impl(trainer.rng))
+    assert "rbg" in impl, impl
+    cfg = dataclasses.replace(trainer.cfg, il=dataclasses.replace(
+        trainer.cfg.il, rng_impl="threefry2x32"))
+    envs = GeometricNavEnv(
+        num_envs=2, seed=0, vocab_size=cfg.planner.vocab_size,
+        max_instr_len=cfg.il.max_text_len,
+        image_size=cfg.clip.image_size, depth_size=cfg.depth.input_size,
+        pad_id=cfg.planner.pad_token_id)
+    t = FinetuneTrainer(cfg, envs, seed=0)
+    assert "threefry" in str(jax.random.key_impl(t.rng))
+    logs = t.train(iters=1)
+    assert np.isfinite(logs["IL_loss"])
+
+
 def test_checkpoint_roundtrip(trainer, tmp_path):
-    path = tmp_path / "ckpt_iter2"
+    saved_iter = trainer.iteration
+    path = tmp_path / f"ckpt_iter{saved_iter}"
     trainer.save_checkpoint(str(path))
     before = trainer.params.planner["global_sap_head"]["dense2"]["w"]
+    trainer.iteration = saved_iter + 7          # must be restored below
     trainer.load_checkpoint(str(path))
     after = trainer.params.planner["global_sap_head"]["dense2"]["w"]
     np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
-    assert trainer.iteration == 2
+    assert trainer.iteration == saved_iter

@@ -222,3 +222,29 @@ def test_cubemap_to_equirect_uint8_and_batch():
     # jittable with static shapes
     f = jax.jit(lambda x: cubemap_to_equirect(x, (16, 32)))
     np.testing.assert_array_equal(np.asarray(f(jnp.asarray(faces))), out)
+
+
+def test_maybe_dropout_bits8_mode():
+    """DROPOUT_BITS8 (uint8-bits masks, tools/exp_learn_bisect.py bits8
+    probe): kept elements scale by 1/keep_eff where keep_eff = n/256, the
+    empirical keep rate matches, and rate==0/train=False stay identity."""
+    from etpnav_tpu.ops import basic
+    x = jnp.ones((64, 256), jnp.float32)
+    key = jax.random.key(0, impl="rbg")
+    basic.DROPOUT_BITS8 = True
+    try:
+        out = np.asarray(basic.maybe_dropout(x, 0.1, key, train=True))
+        keep_eff = round(0.9 * 256) / 256
+        kept = out > 0
+        assert set(np.unique(out)) <= {0.0, np.float32(1.0 / keep_eff)}
+        assert abs(kept.mean() - keep_eff) < 0.01
+        # identity paths unaffected
+        np.testing.assert_array_equal(
+            np.asarray(basic.maybe_dropout(x, 0.0, key, True)), x)
+        np.testing.assert_array_equal(
+            np.asarray(basic.maybe_dropout(x, 0.1, key, False)), x)
+        # keep quantizing to 256/256 (rate < 1/512) degrades to identity
+        np.testing.assert_array_equal(
+            np.asarray(basic.maybe_dropout(x, 1e-4, key, True)), x)
+    finally:
+        basic.DROPOUT_BITS8 = False

@@ -4,7 +4,10 @@ BENCH_r03 put the learn step at ~147 ms (=20% MFU at ~5.9e12 fwd+bwd
 FLOPs per B=16 interval). This probe splits that time the way
 exp_perceive_bisect/exp_nav_bisect split the inference programs:
 
-  full        value_and_grad + AdamW update (the production step)
+  full        value_and_grad + AdamW update under threefry keys (the
+              pre-adoption step; production now defaults to rbg keys —
+              ILConfig.rng_impl — after this probe's rbg variant measured
+              147.6 -> 133.2 ms on v5e-1)
   sgd         value_and_grad + plain p-=lr*g   -> AdamW moment cost
   fwd         loss only, no grad               -> fwd vs bwd split
   no_dropout  train=False replay (no threefry) -> dropout/RNG cost
@@ -52,7 +55,7 @@ def main():
     ap.add_argument("--chain", type=int, default=8)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--variants", default="full,sgd,fwd,no_dropout,rbg,"
-                    "unroll,components")
+                    "bits8,unroll,components")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config on CPU (probe smoke test)")
     args = ap.parse_args()
@@ -172,6 +175,24 @@ def main():
                 compile_s=round(cs, 1))
         except Exception as e:   # pragma: no cover - depends on jaxlib
             log(section="learn_bisect", variant="rbg", error=repr(e))
+
+    if "bits8" in variants:
+        # uint8-bits dropout masks under the production (rbg) keys: 4x
+        # fewer random bits per mask element than bernoulli's uniform-f32
+        # threshold (ops/basic.py DROPOUT_BITS8)
+        from etpnav_tpu.ops import basic as basic_ops
+        rbg_keys = jax.random.split(jax.random.key(1, impl="rbg"),
+                                    args.chain)
+        basic_ops.DROPOUT_BITS8 = True
+        try:
+            fn = chained_train(compute_il_loss, adamw_update)
+            ms, cs = _time(fn, (params, opt_state, batch, rbg_keys),
+                           args.chain, args.repeats)
+            results["bits8"] = ms
+            log(section="learn_bisect", variant="bits8", ms=round(ms, 2),
+                compile_s=round(cs, 1))
+        finally:
+            basic_ops.DROPOUT_BITS8 = False
 
     if "unroll" in variants:
         # fully unrolled transformer stacks (bert_core.SCAN_UNROLL): the

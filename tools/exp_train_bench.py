@@ -155,7 +155,9 @@ def time_learn_step(cfg, B, chain, repeats, dense=False, dropout=True):
         return losses
 
     fn = jax.jit(chained)
-    rngs = jax.random.split(jax.random.PRNGKey(1), chain)
+    # production dropout-key impl (cfg.il.rng_impl, rbg by default)
+    rngs = jax.random.split(
+        jax.random.key(1, impl=cfg.il.rng_impl), chain)
     t0 = time.perf_counter()
     losses = np.asarray(fn(params, opt_state, batch, rngs))
     compile_s = time.perf_counter() - t0

@@ -386,9 +386,8 @@ def main():
     # tools/exp_nav_bisect.py; the reference likewise evaluates outside
     # autocast, ss_trainer_ETP.py:502). The training-dtype (bf16)
     # program is reported alongside.
-    import dataclasses as _dc
-    serve_cfg = _dc.replace(cfg, planner=_dc.replace(
-        cfg.planner, nav_use_bf16=False))
+    from etpnav_tpu.run import serving_config
+    serve_cfg = serving_config(cfg)   # fills nav_use_bf16 only when None
     nav_steps = measure_planner(serve_cfg, params,
                                 batch_per_device=args.batch,
                                 devices=devices)

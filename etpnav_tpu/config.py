@@ -187,6 +187,11 @@ class ILConfig:
     # 123.8 ms). Statistically equivalent for dropout; set "threefry2x32"
     # to restore JAX's default splittable generator.
     rng_impl: str = "rbg"
+    # Experimental: uint8-bits dropout masks (ops/basic.py maybe_dropout;
+    # tools/exp_learn_bisect.py bits8 variant). Keep probabilities
+    # quantize to n/256. Recorded here (not only as the module global) so
+    # a run's setting is reproducible from its config/checkpoint.
+    dropout_bits8: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

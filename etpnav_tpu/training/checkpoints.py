@@ -34,13 +34,40 @@ def _unkey(tree: Any) -> Any:
         lambda x: jax.random.key_data(x) if _is_key(x) else x, tree)
 
 
+# key-data trailing dim -> PRNG impl, for restoring checkpoints written
+# under a different ILConfig.rng_impl than the current run's template
+_KEY_WIDTH_IMPL = {2: "threefry2x32", 4: "rbg"}
+
+
+def _wrap_key(like_leaf, data):
+    data = jax.numpy.asarray(data)
+    impl = jax.random.key_impl(like_leaf)
+    try:
+        return jax.random.wrap_key_data(data, impl=impl)
+    except (ValueError, TypeError):
+        # checkpoint was saved under a different rng_impl (e.g. threefry
+        # (2,)-uint32 data restored into an rbg (4,) template). Wrap with
+        # the impl the *data* belongs to — the restored key keeps its
+        # original stream; callers fold_in per-iteration so mixing impls
+        # across a resume is well-defined.
+        inferred = _KEY_WIDTH_IMPL.get(int(data.shape[-1]) if data.ndim else 0)
+        if inferred is None:
+            raise
+        import logging
+        logging.getLogger(__name__).warning(
+            "checkpoint rng key data has trailing dim %d incompatible with "
+            "template impl %s; restoring as %s (rng stream preserved under "
+            "its original impl)", data.shape[-1], impl, inferred)
+        return jax.random.wrap_key_data(data, impl=inferred)
+
+
 def _rekey(like: Any, restored: Any) -> Any:
     """Re-wrap restored key data as typed keys, preserving each leaf's
-    PRNG implementation from the template (ILConfig.rng_impl)."""
+    PRNG implementation from the template (ILConfig.rng_impl); falls back
+    to the impl inferred from the stored data's width when the template's
+    impl changed across the save/restore boundary."""
     return jax.tree_util.tree_map(
-        lambda l, r: (jax.random.wrap_key_data(
-            jax.numpy.asarray(r), impl=jax.random.key_impl(l))
-            if _is_key(l) else r),
+        lambda l, r: _wrap_key(l, r) if _is_key(l) else r,
         like, restored)
 
 

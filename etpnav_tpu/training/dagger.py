@@ -96,6 +96,9 @@ class DaggerConfig:
     p: float = 0.75                # beta = p ** iteration (dagger_trainer)
     max_steps: int = 60
     preload_size: int = 1024
+    # dropout/update-key PRNG implementation (see ILConfig.rng_impl;
+    # "threefry2x32" is the documented bit-exact escape hatch)
+    rng_impl: str = "rbg"
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tx"))
@@ -320,9 +323,11 @@ class RecVLNBertDagger:
             updates, opt_state = self.tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
         self._jit_update = _update
-        # rbg dropout keys (see ILConfig.rng_impl: ~16% of a train step is
-        # threefry mask generation on TPU; statistically equivalent)
-        self._update_key = jax.random.key(seed + 1, impl="rbg")
+        # rbg dropout keys by default (see ILConfig.rng_impl: ~16% of a
+        # train step is threefry mask generation on TPU; statistically
+        # equivalent). DaggerConfig.rng_impl keeps the threefry escape
+        # hatch working here too.
+        self._update_key = jax.random.key(seed + 1, impl=dagger_cfg.rng_impl)
 
     @staticmethod
     def _env_action(a: int, pos_i, tgt):

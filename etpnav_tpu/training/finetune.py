@@ -263,6 +263,9 @@ class FinetuneTrainer:
         # replaces threefry mask generation — 147.6 -> 133.2 ms per fused
         # learn step on v5e-1 (tools/exp_learn_bisect.py)
         self.rng = jax.random.key(seed + 1, impl=cfg.il.rng_impl)
+        if cfg.il.dropout_bits8:     # experimental; recorded in the config
+            from etpnav_tpu.ops import basic as _basic
+            _basic.DROPOUT_BITS8 = True
         self.iteration = 0
         self.logs = defaultdict(list)
         self.timer = StepTimer()

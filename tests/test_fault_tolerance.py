@@ -179,3 +179,38 @@ def test_eval_survives_worker_crash_midrollout():
             assert np.isfinite(stats[key])
     finally:
         envs.close()
+
+
+def test_checkpoint_rng_impl_migration(tmp_path):
+    """A checkpoint saved under one ILConfig.rng_impl restores into a
+    trainer template built with another: _rekey infers the impl from the
+    stored key data's width (threefry (2,) vs rbg (4,)) instead of
+    failing in wrap_key_data (ADVICE r3). The restored key keeps its
+    original stream; training continues."""
+    from etpnav_tpu.training.checkpoints import (load_checkpoint,
+                                                 save_checkpoint)
+    for saved_impl, template_impl in [("threefry2x32", "rbg"),
+                                      ("rbg", "threefry2x32")]:
+        state = {"step": np.int64(7),
+                 "rng": jax.random.key(3, impl=saved_impl)}
+        path = str(tmp_path / f"ckpt_{saved_impl}")
+        save_checkpoint(path, state)
+        template = {"step": np.int64(0),
+                    "rng": jax.random.key(0, impl=template_impl)}
+        restored = load_checkpoint(path, template)
+        assert int(restored["step"]) == 7
+        # stream preserved under the original impl
+        np.testing.assert_array_equal(
+            jax.random.key_data(restored["rng"]),
+            jax.random.key_data(state["rng"]))
+        # and the restored key is usable (fold_in + draw)
+        sub = jax.random.fold_in(restored["rng"], 1)
+        assert np.isfinite(np.asarray(jax.random.uniform(sub, (3,)))).all()
+
+
+def test_dagger_rng_impl_plumbed():
+    """DaggerConfig.rng_impl steers the RecVLNBertDagger update key
+    (ADVICE r3: the threefry escape hatch applies to DAgger too)."""
+    from etpnav_tpu.training.dagger import DaggerConfig
+    assert DaggerConfig().rng_impl == "rbg"
+    assert DaggerConfig(rng_impl="threefry2x32").rng_impl == "threefry2x32"

@@ -64,8 +64,9 @@ class PlannerConfig:
     # graph (measured on v5e-1 at B=8: 0.52 ms at G=16 vs 0.78 ms at
     # G=64, plus a G^2-smaller pair_dists transfer). () = always
     # max_gmap_len.
-    # Training always uses max_gmap_len (the learn-phase record is one
-    # fixed-shape tensor). jit caches one program per bucket.
+    # Training emits/scores at max_gmap_len during the rollout; the learn
+    # phase may slice the record to IL.train_gmap_buckets (see ILConfig).
+    # jit caches one program per bucket.
     gmap_len_buckets: Tuple[int, ...] = ()
 
     # compute dtype for the transformer stacks
@@ -192,6 +193,18 @@ class ILConfig:
     # quantize to n/256. Recorded here (not only as the module global) so
     # a run's setting is reproducible from its config/checkpoint.
     dropout_bits8: bool = False
+    # Bucketed replay (VERDICT r3 #2): before the fused learn step, slice
+    # the recorded interval's trajectory axis to the smallest bucket that
+    # holds the longest live episode, and the graph axis to the smallest
+    # bucket that holds the largest emitted slot count. Slicing is exact
+    # (slots are prefix-ordered, steps beyond the last valid one are
+    # -100-teacher padding) — it removes padding compute, not data. One
+    # jitted learn program per (T, G) bucket pair; keep the sets small.
+    # () = always the record's full (max_traj_len, max_gmap_len) shape.
+    # The reference pads ragged graphs to the *batch* max per step
+    # (common/ops.py:46) — this is the fixed-shape analogue.
+    train_traj_buckets: Tuple[int, ...] = ()
+    train_gmap_buckets: Tuple[int, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -341,9 +354,20 @@ class ExperimentConfig:
 
 
 def r2r_config(**overrides) -> ExperimentConfig:
-    """R2R-CE: bert-base-uncased text encoder (run_r2r/iter_train.yaml)."""
-    planner = PlannerConfig(gmap_len_buckets=(16, 32, 48))
-    cfg = ExperimentConfig(task_type="r2r", planner=planner)
+    """R2R-CE: bert-base-uncased text encoder (run_r2r/iter_train.yaml).
+
+    max_gmap_len=96: tools/exp_gmap_capacity.py measured peak slot demand
+    at reference episode shapes (T=20, K=5, merge+consume on) of p90=60 /
+    max=66 with teacher-guided rollouts and up to 88 across settings — a
+    64 cap silently evicts ghosts from ~8% of episodes (the reference
+    grows unboundedly, graph_utils.py:193-257). 96 holds every measured
+    episode; the learn phase pays for it only on intervals that need it
+    (IL.train_gmap_buckets)."""
+    planner = PlannerConfig(max_gmap_len=96,
+                            gmap_len_buckets=(16, 32, 48, 64))
+    il = ILConfig(train_traj_buckets=(12, 20),
+                  train_gmap_buckets=(48, 64, 96))
+    cfg = ExperimentConfig(task_type="r2r", planner=planner, il=il)
     return dataclasses.replace(cfg, **overrides)
 
 
@@ -356,10 +380,12 @@ def rxr_config(**overrides) -> ExperimentConfig:
         pad_token_id=1,
         type_vocab_size=2,
         max_txt_len=200,
-        gmap_len_buckets=(16, 32, 48),
+        max_gmap_len=96,                     # see r2r_config docstring
+        gmap_len_buckets=(16, 32, 48, 64),
     )
     il = ILConfig(
-        iters=20000, lr=1.5e-5, expert_policy="ndtw", max_text_len=200
+        iters=20000, lr=1.5e-5, expert_policy="ndtw", max_text_len=200,
+        train_traj_buckets=(12, 20), train_gmap_buckets=(48, 64, 96),
     )
     cfg = ExperimentConfig(task_type="rxr", planner=planner, il=il)
     return dataclasses.replace(cfg, **overrides)

@@ -19,11 +19,52 @@ def _default_config_dirs():
     return ["bert_config", os.path.join(repo, "configs", "bert_config")]
 
 
+def _xlmr_from_artifact(path: str):
+    """XLM-R tokenizer from an explicit artifact: a `tokenizer.json`
+    (fast path, no sentencepiece package needed) or a
+    `sentencepiece.bpe.model` (slow path, requires sentencepiece). A
+    directory is searched for either, fast first."""
+    if os.path.isdir(path):
+        for f in ("tokenizer.json", "sentencepiece.bpe.model"):
+            cand = os.path.join(path, f)
+            if os.path.exists(cand):
+                path = cand
+                break
+        else:
+            raise RuntimeError(
+                f"ETPNAV_XLMR_TOKENIZER dir {path!r} holds neither "
+                "tokenizer.json nor sentencepiece.bpe.model")
+    if path.endswith(".json"):
+        from transformers import XLMRobertaTokenizerFast
+        return XLMRobertaTokenizerFast(vocab_file=None, tokenizer_file=path)
+    try:
+        import sentencepiece  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            f"Loading {path!r} needs the `sentencepiece` package, which "
+            "is not installed in this image. Convert the model once to "
+            "tokenizer.json (XLMRobertaTokenizerFast.save_pretrained on "
+            "any machine with sentencepiece) and point "
+            "ETPNAV_XLMR_TOKENIZER at that instead.") from e
+    from transformers import XLMRobertaTokenizer
+    return XLMRobertaTokenizer(vocab_file=path)
+
+
 def get_tokenizer(task_type: str = "r2r",
-                  bert_config_dir: Optional[str] = "bert_config"):
+                  bert_config_dir: Optional[str] = "bert_config",
+                  tokenizer_path: Optional[str] = None):
+    """tokenizer_path / $ETPNAV_XLMR_TOKENIZER: explicit artifact override
+    so an operator with the XLM-R sentencepiece/tokenizer.json file can
+    run RxR fully offline (the reference vendors only the config.json,
+    matching /root/reference/bert_config/xlm-roberta-base/; the tokenizer
+    itself comes from the hub at vlnbert_init.py:8-11)."""
     from transformers import AutoTokenizer
     name = ("xlm-roberta-base" if task_type == "rxr"
             else "bert-base-uncased")
+    if name == "xlm-roberta-base":
+        explicit = tokenizer_path or os.environ.get("ETPNAV_XLMR_TOKENIZER")
+        if explicit:
+            return _xlmr_from_artifact(explicit)
     dirs = ([bert_config_dir] if bert_config_dir not in (None, "bert_config")
             else _default_config_dirs())
     for d in dirs:

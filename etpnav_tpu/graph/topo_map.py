@@ -78,6 +78,13 @@ class TopoMap:
         # every edge ever added (the true graph; APSP relaxation may
         # route around an edge, but it still exists for visualization)
         self._edge_set: set = set()
+        # capacity instrumentation (VERDICT r3 #5): peak raw slot count
+        # ([stop]+nodes+ghosts before any emit() drop) and how many slots
+        # emit() has ever had to evict to fit max_len. evicted_* staying
+        # 0 proves max_gmap_len held for this episode.
+        self.peak_slots = 0
+        self.evicted_ghosts = 0
+        self.evicted_nodes = 0
 
     # -- graph construction -------------------------------------------------
 
@@ -275,10 +282,12 @@ class TopoMap:
         max_gmap_len buckets keep shapes static).
         """
         slots = self.slots()
+        self.peak_slots = max(self.peak_slots, len(slots))
         if len(slots) > max_len:
             n_drop = len(slots) - max_len
             ghost_ids = [g for k, g in slots if k == "ghost"]
             drop = set(ghost_ids[:n_drop])
+            self.evicted_ghosts += len(drop)
             slots = [(k, i) for k, i in slots
                      if not (k == "ghost" and i in drop)]
         if len(slots) > max_len:
@@ -293,6 +302,7 @@ class TopoMap:
             order = sorted((self.node_step[i], i) for k, i in slots
                            if k == "node" and i != cur_node)
             drop_nodes = {i for _, i in order[:n_drop]}
+            self.evicted_nodes += len(drop_nodes)
             slots = [(k, i) for k, i in slots
                      if not (k == "node" and i in drop_nodes)]
         G = max_len

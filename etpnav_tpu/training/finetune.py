@@ -202,6 +202,57 @@ def _warn_short(what: str, got: int, want: int):
             RuntimeWarning, stacklevel=3)
 
 
+def _pick_bucket(need: int, buckets, hard: int) -> int:
+    fits = [b for b in buckets if need <= b <= hard]
+    return min(fits) if fits else hard
+
+
+def bucket_record(rec: RolloutRecord, il) -> RolloutRecord:
+    """Slice a recorded interval to its (T, G) demand buckets
+    (IL.train_traj_buckets / train_gmap_buckets; VERDICT r3 #2).
+
+    Exact, not approximate: emitted gmap slots are prefix-ordered with
+    padding at the end, steps beyond the last valid one are whole-row
+    padding (teacher=-100, step_valid=False), ghost-provenance entries at
+    step t reference only steps <= t and slots < the live slot count, and
+    node visit-steps are <= their row's step. So slicing the record to
+    T_b >= max valid steps and G_b >= max live slots removes only
+    padding compute. One jitted learn program per (T_b, G_b) pair.
+    The reference analogue pads ragged graphs to the *batch* max per
+    step (common/ops.py:46)."""
+    import dataclasses as _dc
+    B, T = rec.step_valid.shape
+    G = rec.gmap_mask.shape[2]
+    if not (il.train_traj_buckets or il.train_gmap_buckets):
+        return rec
+    valid_t = rec.step_valid.any(0)
+    T_need = int(valid_t.nonzero()[0].max()) + 1 if valid_t.any() else 1
+    G_need = int(rec.gmap_mask.sum(-1).max())
+    T_b = _pick_bucket(T_need, il.train_traj_buckets, T)
+    G_b = _pick_bucket(G_need, il.train_gmap_buckets, G)
+    if (T_b, G_b) == (T, G):
+        return rec
+    M_b = T_b * (rec.agg_ent_val.shape[2] // T)
+    return _dc.replace(
+        rec,
+        vp_rgb=rec.vp_rgb[:, :T_b], vp_dep=rec.vp_dep[:, :T_b],
+        vp_loc=rec.vp_loc[:, :T_b], vp_nav=rec.vp_nav[:, :T_b],
+        vp_mask=rec.vp_mask[:, :T_b],
+        agg_node_step=rec.agg_node_step[:, :T_b, :G_b],
+        agg_ent_slot=rec.agg_ent_slot[:, :T_b, :M_b],
+        agg_ent_tok=rec.agg_ent_tok[:, :T_b, :M_b],
+        agg_ent_val=rec.agg_ent_val[:, :T_b, :M_b],
+        gmap_step_ids=rec.gmap_step_ids[:, :T_b, :G_b],
+        gmap_pos_fts=rec.gmap_pos_fts[:, :T_b, :G_b],
+        gmap_mask=rec.gmap_mask[:, :T_b, :G_b],
+        gmap_visited=rec.gmap_visited[:, :T_b, :G_b],
+        gmap_pair=rec.gmap_pair[:, :T_b, :G_b, :G_b],
+        teacher=rec.teacher[:, :T_b],
+        step_valid=rec.step_valid[:, :T_b],
+        logits=rec.logits[:, :T_b, :G_b],
+    )
+
+
 def record_to_batch(rec: RolloutRecord) -> dict:
     return {
         "txt_ids": jnp.asarray(rec.txt_ids),
@@ -299,7 +350,7 @@ class FinetuneTrainer:
                 rec = self.engine.run("train", sample_ratio=ratio,
                                       gt_paths=gt_paths)
             with self.timer.phase("learn"):
-                batch = record_to_batch(rec)
+                batch = record_to_batch(bucket_record(rec, il))
                 if self.mesh is not None:
                     from etpnav_tpu.parallel import mesh as meshlib
                     batch = meshlib.shard_batch(self.mesh, batch)

@@ -427,6 +427,12 @@ class RolloutEngine:
             for i, r in enumerate(results):
                 obs_full[live[i]] = r.observation
 
+        # graph-capacity instrumentation (VERDICT r3 #5): per-env peak raw
+        # slot count and eviction totals for this interval, for
+        # tools/exp_gmap_capacity.py and the no-eviction test
+        self.last_gmap_stats = [
+            {"peak_slots": g.peak_slots, "evicted_ghosts": g.evicted_ghosts,
+             "evicted_nodes": g.evicted_nodes} for g in gmaps]
         return rec
 
     # ------------------------------------------------------------- helpers

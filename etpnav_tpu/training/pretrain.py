@@ -386,7 +386,12 @@ class PretrainTrainer:
         self.params = meshlib.shard_params(self.mesh, params)
         self.tx = make_optimizer(cfg)
         self.opt_state = self.tx.init(self.params)
-        self.sampler = PretrainSampler(shapes, seed=seed,
+        # per-process data stream (DistributedSampler semantics,
+        # loader.py:127-149): each process samples its own shard-distinct
+        # examples; MetaSampler keeps the shared seed so the TASK pick
+        # stays synchronized across processes (loader.py:56-59).
+        data_seed = seed + 100003 * jax.process_index()
+        self.sampler = PretrainSampler(shapes, seed=data_seed,
                                        num_scans=num_scans,
                                        scan_size=scan_size)
         self.meta = iter(MetaSampler(self.sampler, cfg.pretrain.batch_size,

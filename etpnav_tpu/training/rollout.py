@@ -81,6 +81,14 @@ class RolloutEngine:
         # action-sampling keys follow the trainer's PRNG impl
         # (ILConfig.rng_impl; rbg default — see finetune.py)
         self._jrng = jax.random.key(seed, impl=cfg.il.rng_impl)
+        # MEASUREMENT-ONLY: a ring of pre-staged (rgb, depth) device
+        # arrays. When set, perceive reads observations from HBM instead
+        # of uploading the envs' host arrays each step, so a benchmark
+        # can separate sim+dispatch+compute cost from host->device
+        # observation transfer (on a production host the link is ~1000x
+        # the axon tunnel; see bench.py train_iters_per_sec). Never set
+        # in training: the recorded features would not match the envs.
+        self.device_obs = None
 
     def _next_rng(self):
         self._jrng, sub = jax.random.split(self._jrng)
@@ -189,11 +197,14 @@ class RolloutEngine:
         prev_node = [None] * B
 
         for stepk in range(T):
-            # native parallel gather (io_core) — with shm observation
-            # views this is the only host copy between sim and device.
-            # Full pool: padding rows re-encode their last observation.
-            rgb = native.stack_arrays([o["rgb"] for o in obs_full])
-            depth = native.stack_arrays([o["depth"] for o in obs_full])
+            if self.device_obs is not None:   # measurement-only (see init)
+                rgb, depth = self.device_obs[stepk % len(self.device_obs)]
+            else:
+                # native parallel gather (io_core) — with shm observation
+                # views this is the only host copy between sim and device.
+                # Full pool: padding rows re-encode their last observation.
+                rgb = native.stack_arrays([o["rgb"] for o in obs_full])
+                depth = native.stack_arrays([o["depth"] for o in obs_full])
 
             # ---- fused waypoint + pano perception (ONE device dispatch) --
             sample_rng = self._next_rng() if (train and il.waypoint_aug) \

@@ -66,3 +66,12 @@ def test_train_metrics_cpu():
     sec, phases = bench.measure_train_iteration(cfg, num_envs=2, iters=1)
     assert np.isfinite(sec) and sec > 0
     assert "rollout" in phases and "learn" in phases
+    # per-bucket learn-step shapes (G/T overrides)
+    ms_b = bench.measure_learn_step(cfg, batch=2, chain=2, repeats=1,
+                                    gmap_len=12, traj_len=3)
+    assert np.isfinite(ms_b) and ms_b > 0
+    # device-resident observation ring (RolloutEngine.device_obs)
+    sec_d, phases_d = bench.measure_train_iteration(
+        cfg, num_envs=2, iters=1, device_obs=True)
+    assert np.isfinite(sec_d) and sec_d > 0
+    assert "rollout" in phases_d

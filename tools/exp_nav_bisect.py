@@ -17,6 +17,13 @@ way perception was bisected (tools/exp_perceive_bisect.py):
 - G sweep        : padding sensitivity (eval buckets 16/32/48 vs the
                    fixed G=64 bench/train shape)
 - B sweep        : dispatch-size sensitivity
+- --learn-shapes : rerun the decomposition at the replay's B*T=320-row
+                   shapes (VERDICT r3 #7) — the learn phase scores all
+                   B=16 envs x T=20 steps as one flattened nav batch
+                   (finetune.compute_il_loss), so serving-shape (B=16)
+                   pipeline-gap conclusions may not transfer. Adds a
+                   full_grad variant (value_and_grad through the nav
+                   stack) to probe backward headroom at those rows.
 
 Harness: chained lax.scan, per-iteration input perturbation from the xs
 stream, host fetch as sync (CLAUDE.md benchmarking rules). Emits each
@@ -86,31 +93,53 @@ def measure_variant(name, cfg, params, B, iters, variant="full", G=None,
     txt, txt_m, gmap = make_inputs(cfg, B, G=G, L=L)
     dtype = jnp.bfloat16 if p.use_bf16 else jnp.float32
 
-    if variant in ("full", "full_txt_only"):
+    if variant in ("full", "full_txt_only", "full_grad"):
         # full: EVERY production-varying input is perturbed from the xs
         # stream — in the real rollout the gmap changes every step, so
         # the embed/sprel construction must not be scan-hoisted.
         # full_txt_only: the (flawed) txt-only perturbation that lets
         # XLA hoist the gmap-side work — kept to quantify the hoisting
         # error of the original bench formulation.
-        perturb_gmap = variant == "full"
+        # full_grad: value_and_grad of the scored sum wrt the planner
+        # params — the learn phase's backward through this same stack.
+        perturb_gmap = variant != "full_txt_only"
         def once(params, txt, gmap):
             return agent_lib.score_navigation(
                 params, cfg, txt, txt_m, gmap)["global_logits"]
-        def chained(params, txt, gmap, xs):
-            def body(c, x):
-                eps = x.astype(jnp.float32) * 1e-6
-                t = txt + eps
-                g = gmap
-                if perturb_gmap:
-                    g = dict(gmap,
-                             img_fts=gmap["img_fts"] + eps,
-                             pair_dists=gmap["pair_dists"] + eps,
-                             pos_fts=gmap["pos_fts"] + eps)
-                out = once(params, t, g)
-                return c + jnp.where(jnp.isfinite(out), out, 0.0).sum(), None
-            c, _ = jax.lax.scan(body, jnp.float32(0), xs)
-            return c
+        def perturbed(txt, gmap, x):
+            eps = x.astype(jnp.float32) * 1e-6
+            t = txt + eps
+            g = gmap
+            if perturb_gmap:
+                g = dict(gmap,
+                         img_fts=gmap["img_fts"] + eps,
+                         pair_dists=gmap["pair_dists"] + eps,
+                         pos_fts=gmap["pos_fts"] + eps)
+            return t, g
+        if variant == "full_grad":
+            def loss_fn(planner_params, t, g):
+                out = once(params._replace(planner=planner_params), t, g)
+                return jnp.where(jnp.isfinite(out), out,
+                                 0.0).astype(jnp.float32).sum()
+            def chained(params, txt, gmap, xs):
+                def body(c, x):
+                    t, g = perturbed(txt, gmap, x)
+                    val, grads = jax.value_and_grad(loss_fn)(
+                        params.planner, t, g)
+                    gsum = sum(jnp.sum(l.astype(jnp.float32)) for l in
+                               jax.tree_util.tree_leaves(grads))
+                    return c + val + gsum, None
+                c, _ = jax.lax.scan(body, jnp.float32(0), xs)
+                return c
+        else:
+            def chained(params, txt, gmap, xs):
+                def body(c, x):
+                    t, g = perturbed(txt, gmap, x)
+                    out = once(params, t, g)
+                    return c + jnp.where(jnp.isfinite(out), out,
+                                         0.0).sum(), None
+                c, _ = jax.lax.scan(body, jnp.float32(0), xs)
+                return c
         args3 = (params, jax.device_put(txt), jax.device_put(gmap))
     else:
         ge = params.planner["global_encoder"]
@@ -175,6 +204,9 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=256)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--learn-shapes", action="store_true",
+                    help="decompose at the replay's B*T=320-row shapes "
+                         "(B=16 envs x T=20 steps; VERDICT r3 #7)")
     args = ap.parse_args()
 
     import jax
@@ -188,6 +220,26 @@ def main():
     B, iters = args.batch, args.iters
     log(section="env", devices=str(jax.devices()),
         backend=jax.default_backend())
+
+    if args.learn_shapes:
+        # the replay flattens (B=16 envs, T=20 steps) into one 320-row
+        # nav batch (finetune.compute_il_loss); decompose fwd + bwd there
+        B = 320
+        full = measure_variant("full", cfg, params, B, iters)
+        measure_variant("stack_only", cfg, params, B, iters,
+                        variant="stack_only")
+        measure_variant("cross_only", cfg, params, B, iters,
+                        variant="cross_only")
+        measure_variant("self_only", cfg, params, B, iters,
+                        variant="self_only")
+        measure_variant("ffn_only", cfg, params, B, iters,
+                        variant="ffn_only")
+        measure_variant("full_grad", cfg, params, B, iters,
+                        variant="full_grad")
+        for G in (48, 96):   # the production replay buckets around G=64
+            measure_variant(f"G={G}", cfg, params, B, iters, G=G)
+        log(section="done", full_ms=round(full, 3))
+        return
 
     full = measure_variant("full", cfg, params, B, iters)
     measure_variant("full_txt_only", cfg, params, B, iters,

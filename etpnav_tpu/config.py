@@ -69,6 +69,15 @@ class PlannerConfig:
     # jit caches one program per bucket.
     gmap_len_buckets: Tuple[int, ...] = ()
 
+    # per-layer jax.checkpoint on the x-layer (nav/cross-modal) scan:
+    # backward saves only each layer's (B, G, D) boundary and recomputes
+    # the attention internals, instead of keeping every layer's
+    # (B, heads, G, L)+(B, heads, G, G) probs live — required to fit the
+    # G=96 replay bucket's backward in v5e HBM (B*T=320 rows). No effect
+    # on forward-only programs (rollout/serving/eval). The learn path
+    # turns this on via IL.remat_nav.
+    remat_scan: bool = False
+
     # compute dtype for the transformer stacks
     use_bf16: bool = True
     # navigation (global graph) stack dtype override: None follows
@@ -186,6 +195,15 @@ class ILConfig:
     is_requeue: bool = False
     remat: bool = False          # jax.checkpoint the pano encoder in the
                                  # learn step (memory <-> recompute)
+    # per-layer remat of the nav x-layer scan in the learn step's replay
+    # (PlannerConfig.remat_scan). On by default: the G=96 replay bucket's
+    # backward does not fit v5e HBM without it. Applied only when the
+    # replayed graph axis G >= remat_nav_min_gmap: the recompute costs
+    # +3.4% at G=64 (142.8 vs 138.1 ms on v5e) and the smaller buckets
+    # fit HBM comfortably, so only the big bucket pays it
+    # (NOTES_ROUND4.md).
+    remat_nav: bool = True
+    remat_nav_min_gmap: int = 80
     # PRNG implementation for the per-iteration dropout keys. "rbg" (a
     # counter-based XLA RngBitGenerator) cuts the fused learn step from
     # 147.6 to 133.2 ms on v5e-1 (tools/exp_learn_bisect.py: threefry

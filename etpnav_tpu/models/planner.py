@@ -244,6 +244,8 @@ def _x_stack(params: dict, cfg: PlannerConfig, visn: jax.Array,
         def body(h, layer_params):
             return _x_layer(layer_params, cfg, h, txt, txt_bias, visn_bias,
                             train=train), None
+        if cfg.remat_scan:
+            body = jax.checkpoint(body)
         visn, _ = jax.lax.scan(body, visn, params,
                                unroll=bert_core.SCAN_UNROLL)
     else:
@@ -253,6 +255,12 @@ def _x_stack(params: dict, cfg: PlannerConfig, visn: jax.Array,
             layer_params, layer_rng = xs
             return _x_layer(layer_params, cfg, h, txt, txt_bias, visn_bias,
                             rng=layer_rng, train=train), None
+        if cfg.remat_scan:
+            # per-layer remat: backward saves only the (B, G, D) layer
+            # boundary and recomputes each layer's attention internals —
+            # the (B, heads, G, L)/(B, heads, G, G) probs never persist
+            # across the whole stack. No-op for forward-only programs.
+            body = jax.checkpoint(body)
         visn, _ = jax.lax.scan(body, visn, (params, rngs),
                                unroll=bert_core.SCAN_UNROLL)
     return visn

@@ -48,6 +48,15 @@ def replay_logits(planner_params: dict, cfg: ExperimentConfig,
     and the same params this reproduces the rollout-time logits exactly
     (modulo dropout), which tests assert."""
     p = cfg.planner
+    G_replay = batch["gmap_mask"].shape[2]
+    if (cfg.il.remat_nav and not p.remat_scan
+            and G_replay >= cfg.il.remat_nav_min_gmap):
+        # learn-path-only, big-bucket-only: rollout/serving keep the
+        # plain forward (remat is inert there anyway — it only changes
+        # what backward saves), and the small replay buckets fit HBM
+        # without paying the recompute (config.py remat_nav docs).
+        import dataclasses as _dc
+        p = _dc.replace(p, remat_scan=True)
     B, T, P = batch["vp_rgb"].shape[:3]
     G = batch["gmap_mask"].shape[2]
     if rng is not None:

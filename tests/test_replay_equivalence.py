@@ -144,3 +144,30 @@ def test_bucketed_train_step_runs():
     tr = FinetuneTrainer(cfg, envs, seed=0)
     logs = tr.train(iters=2)
     assert np.isfinite(logs["IL_loss"])
+
+
+def test_remat_nav_forward_bit_identical():
+    """PlannerConfig.remat_scan (per-layer jax.checkpoint on the x-layer
+    scan, enabled by IL.remat_nav for big replay buckets) must not change
+    forward values: remat only alters what backward saves. Pin bitwise
+    equality of replay logits with it forced on vs off."""
+    from etpnav_tpu.training.finetune import (bucket_record,
+                                              record_to_batch,
+                                              replay_logits)
+    cfg = tiny_config()
+    envs = GeometricNavEnv(
+        num_envs=2, seed=11, vocab_size=cfg.planner.vocab_size,
+        max_instr_len=cfg.il.max_text_len, image_size=cfg.clip.image_size,
+        depth_size=cfg.depth.input_size, pad_id=cfg.planner.pad_token_id)
+    tr = FinetuneTrainer(cfg, envs, seed=0)
+    rec = tr.engine.run("train", sample_ratio=1.0)
+    batch = record_to_batch(bucket_record(rec, cfg.il))
+
+    def with_remat(on):
+        c = dataclasses.replace(cfg, planner=dataclasses.replace(
+            cfg.planner, remat_scan=on))
+        return jax.jit(lambda pp, b: replay_logits(pp, c, b, train=False)
+                       )(tr.params.planner, batch)
+
+    np.testing.assert_array_equal(np.asarray(with_remat(False)),
+                                  np.asarray(with_remat(True)))

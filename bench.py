@@ -354,10 +354,21 @@ def measure_train_iteration(cfg, *, num_envs: int = 8, iters: int = 2,
     serial axon tunnel (~14 MB at ~17 MB/s — it IS the iteration time);
     the device-obs number measures what the system does: sim stepping +
     host graph work + device dispatch/compute + the fused learn step."""
+    import dataclasses as _dc
+
     import jax
 
     from etpnav_tpu.env.geometric import GeometricNavEnv
     from etpnav_tpu.training.finetune import FinetuneTrainer
+
+    # bucketed replay compiles one learn program per (T, G) bucket hit —
+    # amortized to zero over a production run but dominant in a 2-3
+    # iteration measurement (each fresh bucket injects a ~20 s compile
+    # into the learn phase mean). Time the fixed full-shape program here;
+    # per-bucket steady-state costs are the learn_step_ms bucket_ms
+    # numbers.
+    cfg = _dc.replace(cfg, il=_dc.replace(
+        cfg.il, train_traj_buckets=(), train_gmap_buckets=()))
 
     def mkenv(n, seed):
         return GeometricNavEnv(
@@ -458,7 +469,13 @@ def main():
             measure_learn_step(cfg, batch=B_l, gmap_len=96), 2),
             "T12_G48": round(measure_learn_step(
                 cfg, batch=B_l, gmap_len=48, traj_len=12), 2)}
-        train_base = train_baseline(cfg)
+        # baseline modeled at the SAME shape as the measured headline
+        # (G=64): pricing the baseline at the raised G=96 cap while
+        # measuring the G=64 bucket would inflate vs_baseline ~1.4x
+        import dataclasses as _dc
+        cfg64 = _dc.replace(cfg, planner=_dc.replace(
+            cfg.planner, max_gmap_len=64))
+        train_base = train_baseline(cfg64)
         trained_steps = B_l * T / (learn_ms / 1e3)
         print(json.dumps({
             "metric": "learn_step_ms",
@@ -475,7 +492,7 @@ def main():
                 "(finetune.bucket_record); G cap raised 64->96 after "
                 "capacity measurement (NOTES_ROUND4.md)",
             "baseline_model": {
-                "flops_per_trained_step": flops_per_trained_step(cfg),
+                "flops_per_trained_step": flops_per_trained_step(cfg64),
                 "a100_peak_flops": A100_PEAK_FLOPS,
                 "assumed_utilization": PLANNER_A100_UTILIZATION,
             },

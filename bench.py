@@ -110,6 +110,96 @@ def flops_per_trained_step(cfg) -> float:
     return 3.0 * (flops_per_nav_step(cfg) + pano + txt)
 
 
+def flops_per_pretrain_example(cfg, shapes, task: str) -> float:
+    """Analytic FLOPs to TRAIN one pretrain example (fwd+bwd ~= 3x fwd).
+    Trunk shared by both tasks (training/pretrain.py _trunk): text stack
+    (9 layers over L) + pano encoder (2 layers over P tokens x T steps)
+    + the (G, T*P) aggregation matmul. SAP adds the 4 graph x-layers
+    (G tokens cross-attending L); MLM adds the lang2visn stack (roles
+    swapped: L tokens cross-attending G) + the tied MLM head
+    (L*D*vocab). Reference: pretrain_cmt.py:223-263 / :125-168."""
+    p = cfg.planner
+    D = p.hidden_size
+    L, G = shapes.max_txt_len, shapes.max_gmap_len
+    T, P = shapes.max_traj_steps, shapes.tokens_per_step
+    txt = p.num_l_layers * (24 * L * D * D + 4 * L * L * D)
+    pano = T * p.num_pano_layers * (24 * P * D * D + 4 * P * P * D)
+    agg = 2 * G * T * P * D
+
+    def x_layer(n, m):      # n tokens cross-attending m tokens
+        return (8 * n * D * D + 4 * n * n * D      # self QKVO + scores
+                + 4 * n * D * D + 4 * m * D * D    # cross Q/O + K/V
+                + 4 * n * m * D                    # cross scores+values
+                + 16 * n * D * D)                  # FFN
+    if task == "sap":
+        head = p.num_x_layers * x_layer(G, L) + 2 * G * D * D
+    else:                                          # mlm
+        head = (p.num_x_layers * x_layer(L, G)
+                + 2 * L * D * shapes.vocab_size)
+    return 3.0 * (txt + pano + agg + head)
+
+
+def pretrain_baseline(cfg, shapes, task: str) -> float:
+    """Modeled A100 pretrain examples/s for one task. Reference recipe:
+    100k steps at batch 32/GPU (pretrain_src/run_pt/
+    r2r_pretrain_habitat.json); it publishes no throughput (ex/s counters
+    exist but values are unrecorded, train_r2r.py:299-316), so the same
+    documented 10%-utilization model as the other train metrics."""
+    return (A100_PEAK_FLOPS * PLANNER_A100_UTILIZATION
+            / flops_per_pretrain_example(cfg, shapes, task))
+
+
+def measure_pretrain_step(cfg, shapes, task: str, *, batch_size: int,
+                          chain: int = 8, repeats: int = 3) -> float:
+    """ms per fused pretrain update (fwd+grads+optimizer) for one task.
+    Params/opt-state thread the scan carry, so the body cannot be
+    hoisted; the batch is fixed (production batches differ per step, but
+    the compute is shape-identical and params chaining defeats CSE)."""
+    import jax
+
+    import optax
+
+    from etpnav_tpu.data.pretrain_data import PretrainSampler
+    from etpnav_tpu.training.pretrain import (_LOSS_FNS,
+                                              init_pretrain_params,
+                                              make_optimizer)
+
+    sampler = PretrainSampler(shapes, seed=0, num_scans=4, scan_size=16)
+    host = sampler.sample_batch(batch_size, task)
+    batch = jax.device_put(host)
+    params = init_pretrain_params(jax.random.PRNGKey(0), cfg.planner,
+                                  cfg.pretrain.tasks,
+                                  cfg.pretrain.image_prob_size)
+    params = jax.device_put(params)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    loss_fn = _LOSS_FNS[task]
+
+    def chained(params, opt_state, batch, rngs):
+        def body(carry, rng):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, cfg.planner, batch, rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), rngs)
+        return losses
+
+    fn = jax.jit(chained)
+    rngs = jax.random.split(
+        jax.random.key(1, impl=cfg.pretrain.rng_impl), chain)
+    losses = np.asarray(fn(params, opt_state, batch, rngs))
+    assert np.isfinite(losses).all(), losses
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(fn(params, opt_state, batch, rngs))
+        times.append(time.perf_counter() - t0)
+    return min(times) / chain * 1e3
+
+
 def perception_baseline(cfg) -> float:
     return A100_PEAK_FLOPS * PERCEPTION_A100_UTILIZATION / flops_per_pano(
         cfg)
@@ -498,6 +588,37 @@ def main():
             },
             "n_devices": 1,
         }))
+        from etpnav_tpu.data.pretrain_data import PretrainShapes
+        shapes = PretrainShapes()      # reference r2r pretrain shapes
+        B_p = cfg.pretrain.batch_size
+        pt_ms, pt_vs = {}, {}
+        for task in ("mlm", "sap"):
+            ms = measure_pretrain_step(cfg, shapes, task, batch_size=B_p)
+            pt_ms[task] = round(ms, 2)
+            pt_vs[task] = round(
+                (B_p / (ms / 1e3)) / pretrain_baseline(cfg, shapes, task),
+                3)
+        print(json.dumps({
+            "metric": "pretrain_step_ms",
+            "value": pt_ms["mlm"],
+            "unit": f"ms per fused pretrain update (MLM task, B={B_p}, "
+                    f"T={shapes.max_traj_steps} steps, "
+                    f"G={shapes.max_gmap_len}, grads+optimizer; "
+                    f"reference recipe: 100k steps at batch 32/GPU)",
+            "vs_baseline": pt_vs["mlm"],
+            "per_task_ms": pt_ms,
+            "per_task_vs_baseline": pt_vs,
+            "examples_per_sec": {t: round(B_p / (m / 1e3), 1)
+                                 for t, m in pt_ms.items()},
+            "baseline_model": {
+                "flops_per_example": {
+                    t: flops_per_pretrain_example(cfg, shapes, t)
+                    for t in ("mlm", "sap")},
+                "a100_peak_flops": A100_PEAK_FLOPS,
+                "assumed_utilization": PLANNER_A100_UTILIZATION,
+            },
+            "n_devices": 1,
+        }))
         seq_s, seq_phases = measure_train_iteration(cfg, num_envs=8,
                                                     pipelined=False)
         dev_s, dev_phases = measure_train_iteration(cfg, num_envs=8,
@@ -533,6 +654,7 @@ def main():
         }))
         train_fields = {
             "learn_step_ms": round(learn_ms, 2),
+            "pretrain_step_ms": pt_ms["mlm"],
             "train_iters_per_sec": round(1 / dev_s, 4),
         }
 

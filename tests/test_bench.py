@@ -75,3 +75,29 @@ def test_train_metrics_cpu():
         cfg, num_envs=2, iters=1, device_obs=True)
     assert np.isfinite(sec_d) and sec_d > 0
     assert "rollout" in phases_d
+
+
+def test_pretrain_step_metric_cpu():
+    import dataclasses
+
+    import bench
+    from etpnav_tpu.config import tiny_config
+    from etpnav_tpu.data.pretrain_data import PretrainShapes
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        planner=dataclasses.replace(cfg.planner, max_txt_len=16,
+                                    image_feat_size=32,
+                                    depth_feat_size=16),
+        pretrain=dataclasses.replace(cfg.pretrain, batch_size=2,
+                                     warmup_steps=2, num_train_steps=10))
+    shapes = PretrainShapes(
+        max_txt_len=16, max_traj_steps=3, num_views=12, max_cands=4,
+        max_gmap_len=16, image_feat_size=32, depth_feat_size=16,
+        vocab_size=512, mask_token_id=3, mask_vocab_range=(10, 500))
+    for task in ("mlm", "sap"):
+        ms = bench.measure_pretrain_step(cfg, shapes, task, batch_size=2,
+                                         chain=2, repeats=1)
+        assert np.isfinite(ms) and ms > 0
+        assert bench.flops_per_pretrain_example(cfg, shapes, task) > 0

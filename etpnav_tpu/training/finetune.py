@@ -334,6 +334,8 @@ class FinetuneTrainer:
         self.iteration = 0
         self.logs = defaultdict(list)
         self.timer = StepTimer()
+        # (T, G) learn-program usage histogram (see train())
+        self.bucket_counts: Dict[tuple, int] = {}
         self.writer = TensorboardLogger(tb_dir)
 
     def _rollout_params(self):
@@ -383,6 +385,12 @@ class FinetuneTrainer:
                 brec = bucket_record(rec, il)
                 self.last_bucket = (brec.step_valid.shape[1],
                                     brec.gmap_mask.shape[2])
+                # padding-share observability: which (T, G) programs a
+                # run actually pays for (NOTES_ROUND4.md capacity table
+                # gives the episode-level distribution; this records the
+                # interval-level one, which buckets at the batch max)
+                self.bucket_counts[self.last_bucket] = \
+                    self.bucket_counts.get(self.last_bucket, 0) + 1
                 batch = record_to_batch(brec)
                 if self.mesh is not None:
                     from etpnav_tpu.parallel import mesh as meshlib
@@ -401,6 +409,9 @@ class FinetuneTrainer:
                 self.writer.add_scalars(
                     {f"time/{k}": v for k, v in self.timer.means().items()},
                     self.iteration)
+                self.writer.add_scalars(
+                    {f"buckets/T{t}_G{g}": n for (t, g), n
+                     in self.bucket_counts.items()}, self.iteration)
             if save_every and self.iteration % save_every == 0:
                 os.makedirs(self.ckpt_dir, exist_ok=True)
                 self.save_checkpoint(os.path.join(

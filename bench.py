@@ -39,6 +39,7 @@ panoramas/sec record (driver format: metric/value/unit/vs_baseline).
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -198,6 +199,20 @@ def measure_pretrain_step(cfg, shapes, task: str, *, batch_size: int,
         np.asarray(fn(params, opt_state, batch, rngs))
         times.append(time.perf_counter() - t0)
     return min(times) / chain * 1e3
+
+
+def load_convergence_summary(path: str = None) -> dict:
+    """Recorded end-to-end convergence evidence (tools/learning_demo.py
+    runs written down in CONVERGENCE.json next to this file; see
+    NOTES_ROUND4.md). Returned as a {'convergence': summary} field for
+    the final bench line, {} when no run has been recorded."""
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "CONVERGENCE.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return {"convergence": json.load(f).get("summary", {})}
 
 
 def perception_baseline(cfg) -> float:
@@ -661,6 +676,7 @@ def main():
     panos = measure_perception(cfg, params, batch_per_device=args.batch,
                                iters=args.iters, devices=devices)
     base = perception_baseline(cfg)
+    conv = load_convergence_summary()
     print(json.dumps({
         "metric": "panoramas_per_sec",
         "value": round(panos, 2),
@@ -676,6 +692,7 @@ def main():
         "planner_steps_per_sec": round(nav_steps, 2),
         "planner_vs_baseline": round(nav_steps / nav_base, 3),
         **train_fields,
+        **conv,
     }))
 
 

@@ -101,3 +101,14 @@ def test_pretrain_step_metric_cpu():
                                          chain=2, repeats=1)
         assert np.isfinite(ms) and ms > 0
         assert bench.flops_per_pretrain_example(cfg, shapes, task) > 0
+
+
+def test_load_convergence_summary(tmp_path):
+    import json
+
+    import bench
+    assert bench.load_convergence_summary(str(tmp_path / "nope.json")) == {}
+    p = tmp_path / "CONVERGENCE.json"
+    p.write_text(json.dumps({"summary": {"sr_final": 0.4, "iters": 400}}))
+    out = bench.load_convergence_summary(str(p))
+    assert out == {"convergence": {"sr_final": 0.4, "iters": 400}}

@@ -211,8 +211,12 @@ def load_convergence_summary(path: str = None) -> dict:
                             "CONVERGENCE.json")
     if not os.path.exists(path):
         return {}
-    with open(path) as f:
-        return {"convergence": json.load(f).get("summary", {})}
+    try:
+        with open(path) as f:
+            return {"convergence": json.load(f).get("summary", {})}
+    except (json.JSONDecodeError, OSError, AttributeError) as e:
+        # never lose the final headline record to a malformed sidecar
+        return {"convergence": {"error": f"unreadable: {e}"}}
 
 
 def perception_baseline(cfg) -> float:

@@ -376,6 +376,16 @@ class ExperimentConfig:
     video_dir: str = "logs/video"
 
 
+def pick_bucket(need: int, buckets, cap: int) -> int:
+    """Smallest configured bucket that fits `need` (bounded by `cap`);
+    `cap` when none fits. The single definition shared by the
+    eval-emission path (PlannerConfig.gmap_len_buckets,
+    rollout.py) and the learn-replay slicer (ILConfig.train_*_buckets,
+    finetune.bucket_record) so the two sites cannot drift."""
+    fits = [b for b in buckets if need <= b <= cap]
+    return min(fits) if fits else cap
+
+
 def r2r_config(**overrides) -> ExperimentConfig:
     """R2R-CE: bert-base-uncased text encoder (run_r2r/iter_train.yaml).
 

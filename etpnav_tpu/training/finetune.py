@@ -31,6 +31,7 @@ import numpy as np
 import optax
 
 from etpnav_tpu.config import ExperimentConfig
+from etpnav_tpu.config import pick_bucket as _pick_bucket
 from etpnav_tpu.metrics import aggregate
 from etpnav_tpu.ops.basic import maybe_dropout
 from etpnav_tpu.models import planner
@@ -211,11 +212,6 @@ def _warn_short(what: str, got: int, want: int):
             RuntimeWarning, stacklevel=3)
 
 
-def _pick_bucket(need: int, buckets, hard: int) -> int:
-    fits = [b for b in buckets if need <= b <= hard]
-    return min(fits) if fits else hard
-
-
 def bucket_record(rec: RolloutRecord, il) -> RolloutRecord:
     """Slice a recorded interval to its (T, G) demand buckets
     (IL.train_traj_buckets / train_gmap_buckets; VERDICT r3 #2).
@@ -328,9 +324,11 @@ class FinetuneTrainer:
         # replaces threefry mask generation — 147.6 -> 133.2 ms per fused
         # learn step on v5e-1 (tools/exp_learn_bisect.py)
         self.rng = jax.random.key(seed + 1, impl=cfg.il.rng_impl)
-        if cfg.il.dropout_bits8:     # experimental; recorded in the config
-            from etpnav_tpu.ops import basic as _basic
-            _basic.DROPOUT_BITS8 = True
+        # experimental; recorded in the config. Assigned unconditionally
+        # so a bits8 trainer does not leak the global into a later
+        # default-config trainer in the same process.
+        from etpnav_tpu.ops import basic as _basic
+        _basic.DROPOUT_BITS8 = cfg.il.dropout_bits8
         self.iteration = 0
         self.logs = defaultdict(list)
         self.timer = StepTimer()
@@ -347,12 +345,16 @@ class FinetuneTrainer:
         global array is a lockstep collective program on every process.
         The planner is dp-replicated and mp-sharded only within a process,
         so each process can materialize the full value locally
-        (device_get) and dispatch on local devices. Single-process: the
-        mesh is fully addressable, use the sharded params directly."""
+        (device_get) and dispatch on local devices. The fetched value is
+        re-committed to local device 0 immediately: numpy leaves would be
+        re-uploaded host->device on EVERY jitted rollout dispatch (~2T
+        per iteration). Single-process: the mesh is fully addressable,
+        use the sharded params directly."""
         if self.mesh is None or jax.process_count() == 1:
             return self.params
-        return self.params._replace(
-            planner=jax.device_get(self.params.planner))
+        local = jax.device_put(jax.device_get(self.params.planner),
+                               jax.local_devices()[0])
+        return self.params._replace(planner=local)
 
     def _refresh_agent(self):
         # JittedAgent closures take params per call; just swap the tuple

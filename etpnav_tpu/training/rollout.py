@@ -264,11 +264,11 @@ class RolloutEngine:
             # emit at G: the learn-phase record is one fixed-shape tensor)
             G_step = G
             if not train and cfg.planner.gmap_len_buckets:
+                from etpnav_tpu.config import pick_bucket
                 need = max(1 + gmaps[gi].num_nodes
                            + len(gmaps[gi].ghosts) for gi in live)
-                fits = [b for b in cfg.planner.gmap_len_buckets
-                        if need <= b < G]
-                G_step = min(fits) if fits else G
+                G_step = pick_bucket(need, cfg.planner.gmap_len_buckets,
+                                     G)
             emits = []
             for i, gi in enumerate(live):
                 cur = prev_node[gi]

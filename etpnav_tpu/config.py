@@ -228,6 +228,13 @@ class ILConfig:
     # (common/ops.py:46) — this is the fixed-shape analogue.
     train_traj_buckets: Tuple[int, ...] = ()
     train_gmap_buckets: Tuple[int, ...] = ()
+    # Transport depth maps host->device as uint16 (dequantized on device
+    # by agent.encode_panorama). Halves depth upload bytes; quantization
+    # error <= 1/65535 on the [0,1] depth range — far below the habitat
+    # depth sensor's own noise floor. Matters on rigs where the
+    # accelerator sits behind a network link (e.g. the axon tunnel at
+    # ~17 MB/s, where observation upload IS the rollout wall-time).
+    depth_transport_uint16: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -79,6 +79,12 @@ def encode_panorama(params: AgentParams, cfg: ExperimentConfig,
     K = wcfg.max_predictions
     dtype = jnp.bfloat16 if cfg.planner.use_bf16 else jnp.float32
 
+    if depth.dtype == jnp.uint16:
+        # uint16 transport (ILConfig.depth_transport_uint16): the host
+        # quantized [0,1] depth; dequantize on device. Static dtype =>
+        # a separate compiled program, same math to within 1/65535.
+        depth = depth.astype(jnp.float32) * (1.0 / 65535.0)
+
     # ---- frozen visual encoders over B*12 images (MXU-batched) ----
     rgb_flat = rgb.reshape((B * V,) + rgb.shape[2:])
     if rgb_flat.dtype == jnp.uint8:

@@ -205,6 +205,11 @@ class RolloutEngine:
                 # Full pool: padding rows re-encode their last observation.
                 rgb = native.stack_arrays([o["rgb"] for o in obs_full])
                 depth = native.stack_arrays([o["depth"] for o in obs_full])
+                if il.depth_transport_uint16 and depth.dtype == np.float32:
+                    # halve upload bytes; device side dequantizes
+                    # (agent.encode_panorama)
+                    depth = (np.clip(depth, 0.0, 1.0) * 65535.0
+                             + 0.5).astype(np.uint16)
 
             # ---- fused waypoint + pano perception (ONE device dispatch) --
             sample_rng = self._next_rng() if (train and il.waypoint_aug) \

@@ -1,7 +1,7 @@
 """End-to-end learning validation on the geometric world.
 
 Usage: python tools/learning_demo.py [--iters 400] [--eval-every 100]
-       [--num-envs 8] [--eval-episodes 24]
+       [--num-envs 8] [--eval-episodes 24] [--ckpt-dir runs/conv]
 
 Trains the full-size model (CLIP ViT-B/32 + depth ResNet + waypoint TRM
 + cross-modal planner) with schedule-sampled IL on the synthetic
@@ -10,11 +10,35 @@ JSON line per eval point. This is the sim-free analogue of the
 reference's fine-tuning run (ss_trainer_ETP.py:440-512): it validates
 that the entire TPU stack learns instruction-following end to end, not
 that it reaches R2R numbers (the synthetic language is much simpler).
+
+--ckpt-dir makes the run durable across sessions: it resumes from the
+newest checkpoint in the directory, saves on SIGTERM/exit (so a
+`timeout`-bounded run keeps its progress) and every --save-every
+iterations (VM-teardown insurance), and prunes old checkpoints to
+bound disk. Iteration numbers in the output are global, so appending
+successive sessions' output yields one monotone curve.
 """
 
 import argparse
+import glob
 import json
+import os
+import re
+import shutil
+import signal
 import time
+
+
+def prune_checkpoints(ckpt_dir: str, keep: int = 1):
+    cands = [p for p in glob.glob(os.path.join(ckpt_dir, "ckpt_iter*"))
+             if ".orbax-checkpoint-tmp" not in os.path.basename(p)]
+
+    def it(p):
+        m = re.search(r"iter(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    for p in sorted(cands, key=it)[:-keep]:
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def main():
@@ -24,13 +48,24 @@ def main():
     ap.add_argument("--num-envs", type=int, default=8)
     ap.add_argument("--eval-episodes", type=int, default=24)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ckpt-dir", default="",
+                    help="resume/save checkpoints here (cross-session runs)")
+    ap.add_argument("--save-every", type=int, default=100,
+                    help="mid-run checkpoint interval (0 = exit-save only)")
+    ap.add_argument("--depth-u16", action="store_true",
+                    help="uint16 depth transport (halves depth upload)")
     args = ap.parse_args()
+
+    import dataclasses
 
     from etpnav_tpu.config import r2r_config
     from etpnav_tpu.env.geometric import GeometricNavEnv
     from etpnav_tpu.training.finetune import FinetuneTrainer
 
     cfg = r2r_config()
+    if args.depth_u16:
+        cfg = dataclasses.replace(
+            cfg, il=dataclasses.replace(cfg.il, depth_transport_uint16=True))
 
     def make_envs(seed):
         return GeometricNavEnv(
@@ -41,7 +76,10 @@ def main():
             depth_size=cfg.depth.input_size,
             pad_id=cfg.planner.pad_token_id)
 
-    trainer = FinetuneTrainer(cfg, make_envs(args.seed), seed=args.seed)
+    trainer = FinetuneTrainer(cfg, make_envs(args.seed), seed=args.seed,
+                              ckpt_dir=args.ckpt_dir or "checkpoints")
+    if args.ckpt_dir and trainer.resume_latest():
+        print(json.dumps({"resumed_at": trainer.iteration}), flush=True)
     heldout = make_envs(args.seed + 1000)   # unseen scenes/episodes
 
     def evaluate():
@@ -51,20 +89,45 @@ def main():
         trainer.engine.envs = train_envs
         return stats
 
-    s0 = evaluate()
-    print(json.dumps({"iter": 0, **{k: round(v, 3) for k, v in
-                                    s0.items()}}), flush=True)
+    if trainer.iteration == 0:
+        s0 = evaluate()
+        print(json.dumps({"iter": 0, **{k: round(v, 3) for k, v in
+                                        s0.items()}}), flush=True)
     t0 = time.time()
-    done = 0
-    while done < args.iters:
-        n = min(args.eval_every, args.iters - done)
-        logs = trainer.train(n)
-        done += n
-        s = evaluate()
-        print(json.dumps({
-            "iter": done, "IL_loss": round(logs["IL_loss"], 3),
-            "sec_per_iter": round((time.time() - t0) / done, 2),
-            **{k: round(v, 3) for k, v in s.items()}}), flush=True)
+    start = trainer.iteration
+
+    def _term(signum, frame):   # `timeout` sends SIGTERM: save, then exit
+        raise KeyboardInterrupt
+    signal.signal(signal.SIGTERM, _term)
+
+    try:
+        while trainer.iteration < args.iters:
+            n = min(args.eval_every, args.iters - trainer.iteration)
+            logs = trainer.train(
+                n, save_every=(args.save_every or None) if args.ckpt_dir
+                else None)
+            s = evaluate()
+            print(json.dumps({
+                "iter": trainer.iteration,
+                "IL_loss": round(logs["IL_loss"], 3),
+                "sec_per_iter": round(
+                    (time.time() - t0) / (trainer.iteration - start), 2),
+                **{k: round(v, 3) for k, v in s.items()}}), flush=True)
+            if args.ckpt_dir:
+                prune_checkpoints(args.ckpt_dir)
+    except KeyboardInterrupt:
+        print(json.dumps({"interrupted_at": trainer.iteration}), flush=True)
+    finally:
+        if args.ckpt_dir and trainer.iteration > start:
+            path = os.path.join(args.ckpt_dir,
+                                f"ckpt_iter{trainer.iteration}")
+            if not os.path.exists(path):
+                t = time.time()
+                trainer.save_checkpoint(path)
+                print(json.dumps({"saved": path,
+                                  "save_s": round(time.time() - t, 1)}),
+                      flush=True)
+            prune_checkpoints(args.ckpt_dir)
 
 
 if __name__ == "__main__":

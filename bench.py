@@ -604,6 +604,14 @@ def main():
                 "flops_per_trained_step": flops_per_trained_step(cfg64),
                 "a100_peak_flops": A100_PEAK_FLOPS,
                 "assumed_utilization": PLANNER_A100_UTILIZATION,
+                # sensitivity: the headline leans on the assumed A100
+                # train utilization; report the band so the claim is
+                # auditable (VERDICT r3 weak #1)
+                "vs_baseline_at_utilization": {
+                    f"{u:.2f}": round(
+                        trained_steps / train_base
+                        * PLANNER_A100_UTILIZATION / u, 3)
+                    for u in (0.10, 0.15, 0.20)},
             },
             "n_devices": 1,
         }))

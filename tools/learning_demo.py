@@ -89,10 +89,19 @@ def main():
         trainer.engine.envs = train_envs
         return stats
 
+    def emit(payload, stats):
+        payload.update({k: round(v, 3) for k, v in stats.items()})
+        # SR standard error on n Bernoulli episodes: the curve's noise floor
+        sr, n = stats.get("success", 0.0), max(stats.get("n_episodes", 1), 1)
+        payload["sr_sem"] = round((sr * (1.0 - sr) / n) ** 0.5, 3)
+        if trainer.bucket_counts:
+            # realized (T, G) learn-program mix, cumulative this session
+            payload["buckets"] = {f"T{t}_G{g}": c for (t, g), c in
+                                  sorted(trainer.bucket_counts.items())}
+        print(json.dumps(payload), flush=True)
+
     if trainer.iteration == 0:
-        s0 = evaluate()
-        print(json.dumps({"iter": 0, **{k: round(v, 3) for k, v in
-                                        s0.items()}}), flush=True)
+        emit({"iter": 0}, evaluate())
     t0 = time.time()
     start = trainer.iteration
 
@@ -106,13 +115,11 @@ def main():
             logs = trainer.train(
                 n, save_every=(args.save_every or None) if args.ckpt_dir
                 else None)
-            s = evaluate()
-            print(json.dumps({
-                "iter": trainer.iteration,
-                "IL_loss": round(logs["IL_loss"], 3),
-                "sec_per_iter": round(
-                    (time.time() - t0) / (trainer.iteration - start), 2),
-                **{k: round(v, 3) for k, v in s.items()}}), flush=True)
+            emit({"iter": trainer.iteration,
+                  "IL_loss": round(logs["IL_loss"], 3),
+                  "sec_per_iter": round(
+                      (time.time() - t0) / (trainer.iteration - start), 2)},
+                 evaluate())
             if args.ckpt_dir:
                 prune_checkpoints(args.ckpt_dir)
     except KeyboardInterrupt:

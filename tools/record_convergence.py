@@ -27,7 +27,14 @@ def parse_curve(path: str) -> list:
                 continue
             if "iter" in d:
                 curve.append(d)
-    return curve
+    # Appended session logs may repeat an iter (resume from a checkpoint
+    # older than the last recorded eval) or arrive out of order; keep the
+    # LATEST entry per iter and sort, so 'iters'/'sr_curve' are well
+    # defined (advisor r4).
+    by_iter = {}
+    for d in curve:
+        by_iter[d["iter"]] = d
+    return [by_iter[i] for i in sorted(by_iter)]
 
 
 def summarize(curve: list, note: str = "") -> dict:

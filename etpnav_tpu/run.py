@@ -342,20 +342,28 @@ def run(args=None):
                 "for DAgger use DAGGER.encoder_ckpt for the frozen towers")
         trainer.load_checkpoint(ckpt)
     elif cfg.pretrained_path and hasattr(trainer, "_refresh_agent"):
-        # MODEL.pretrained_path: convert + load a torch pretrain ckpt into
-        # the planner (vlnbert_init.py:21-30 key surgery equivalent)
-        import torch
-        from etpnav_tpu.models.convert import convert_planner, strip_prefixes
-        sd = torch.load(cfg.pretrained_path, map_location="cpu")
-        sd = sd.get("state_dict", sd.get("model", sd))
-        planner_params = convert_planner(
-            strip_prefixes(sd), num_l_layers=cfg.planner.num_l_layers,
-            num_x_layers=cfg.planner.num_x_layers)
-        trainer.params = trainer.params._replace(planner=planner_params)
-        trainer._refresh_agent()
-        trainer.opt_state = trainer.tx.init(trainer.params.planner)
-        logger.info("loaded pretrained planner from %s",
-                    cfg.pretrained_path)
+        if os.path.isdir(cfg.pretrained_path):
+            # JAX-native two-stage recipe: a PretrainTrainer orbax ckpt
+            # directory (training/warm_start.py surgery)
+            trainer.load_pretrained(cfg.pretrained_path)
+            logger.info("warm-started planner from JAX pretrain ckpt %s",
+                        cfg.pretrained_path)
+        else:
+            # MODEL.pretrained_path: convert + load a torch pretrain ckpt
+            # into the planner (vlnbert_init.py:21-30 key surgery)
+            import torch
+            from etpnav_tpu.models.convert import convert_planner, \
+                strip_prefixes
+            sd = torch.load(cfg.pretrained_path, map_location="cpu")
+            sd = sd.get("state_dict", sd.get("model", sd))
+            planner_params = convert_planner(
+                strip_prefixes(sd), num_l_layers=cfg.planner.num_l_layers,
+                num_x_layers=cfg.planner.num_x_layers)
+            trainer.params = trainer.params._replace(planner=planner_params)
+            trainer._refresh_agent()
+            trainer.opt_state = trainer.tx.init(trainer.params.planner)
+            logger.info("loaded pretrained planner from %s",
+                        cfg.pretrained_path)
 
     gt_paths = None
     if args.gt_path:

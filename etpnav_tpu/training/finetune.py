@@ -487,6 +487,20 @@ class FinetuneTrainer:
 
     # ------------------------------------------------------------- ckpts
 
+    def load_pretrained(self, path: str):
+        """Warm-start the planner from a PretrainTrainer orbax checkpoint
+        (the JAX-native MODEL.pretrained_path seam; run_r2r/main.bash +
+        vlnbert_init.py:21-30). Optimizer state is re-initialized — the
+        fine-tune stage starts fresh Adam moments like the reference."""
+        from etpnav_tpu.training.warm_start import load_pretrained_planner
+        planner_params = load_pretrained_planner(path, self.params.planner)
+        if self.mesh is not None:
+            from etpnav_tpu.parallel import mesh as meshlib
+            planner_params = meshlib.shard_params(self.mesh, planner_params)
+        self.params = self.params._replace(planner=planner_params)
+        self.opt_state = self.tx.init(self.params.planner)
+        self._refresh_agent()
+
     def save_checkpoint(self, path: str):
         from etpnav_tpu.training.checkpoints import save_checkpoint
         save_checkpoint(path, {

@@ -7,16 +7,29 @@ keeps only the newest iterations, and the curve parser/summarizer turn
 raw demo output into the CONVERGENCE.json contract bench.py reads.
 """
 
+import importlib.util
 import json
 import os
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, os.path.join(REPO, "tools"))
 
-from learning_demo import prune_checkpoints  # noqa: E402
-from record_convergence import parse_curve, summarize  # noqa: E402
+
+def _load_tool(name):
+    # importlib, not sys.path.insert: a session-wide path mutation would
+    # let tools/*.py shadow same-named modules in later-collected tests
+    # (advisor r4)
+    spec = importlib.util.spec_from_file_location(
+        f"_tools_{name}", os.path.join(REPO, "tools", f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+prune_checkpoints = _load_tool("learning_demo").prune_checkpoints
+_rc = _load_tool("record_convergence")
+parse_curve, summarize = _rc.parse_curve, _rc.summarize
 
 
 def test_prune_checkpoints_keeps_newest(tmp_path):

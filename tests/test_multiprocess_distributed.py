@@ -41,6 +41,58 @@ print("GATHER_OK", len(merged), "rank", pid, flush=True)
 """
 
 
+_BUCKET_WORKER = r"""
+import sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from etpnav_tpu.parallel import mesh as M
+
+pid, port = int(sys.argv[1]), sys.argv[2]
+ok = M.init_distributed(f"localhost:{port}", 2, pid)
+assert ok and jax.process_count() == 2
+
+from etpnav_tpu.config import r2r_config
+from etpnav_tpu.training.rollout import RolloutRecord
+from etpnav_tpu.training.finetune import bucket_record
+
+cfg = r2r_config()
+p, il = cfg.planner, cfg.il
+B, T, G, L = 8, il.max_traj_len, p.max_gmap_len, il.max_text_len
+P = cfg.waypoint.max_predictions + 12
+Mm = T * cfg.waypoint.max_predictions
+
+def z(*s, dt=np.float32):
+    return np.zeros(s, dt)
+
+rec = RolloutRecord(
+    txt_ids=z(B, L, dt=np.int32), txt_masks=np.ones((B, L), bool),
+    vp_rgb=z(B, T, P, p.image_feat_size),
+    vp_dep=z(B, T, P, p.depth_feat_size),
+    vp_loc=z(B, T, P, 4), vp_nav=z(B, T, P, dt=np.int32),
+    vp_mask=np.ones((B, T, P), bool),
+    agg_node_step=np.full((B, T, G), -1, np.int32),
+    agg_ent_slot=z(B, T, Mm, dt=np.int32),
+    agg_ent_tok=z(B, T, Mm, dt=np.int32), agg_ent_val=z(B, T, Mm),
+    gmap_step_ids=z(B, T, G, dt=np.int32), gmap_pos_fts=z(B, T, G, 7),
+    gmap_mask=np.zeros((B, T, G), bool),
+    gmap_visited=np.zeros((B, T, G), bool), gmap_pair=z(B, T, G, G),
+    teacher=np.full((B, T), -100, np.int32),
+    step_valid=np.zeros((B, T), bool), logits=z(B, T, G))
+
+# rank-DEPENDENT demand: rank 0 needs (T=9, G=30), rank 1 (T=14, G=50);
+# the agreed bucket must be the max demand's bucket on BOTH ranks
+t_need, g_need = (9, 30) if pid == 0 else (14, 50)
+rec.step_valid[:, :t_need] = True
+rec.gmap_mask[:, :, :g_need] = True
+rec.teacher[:, :t_need] = 0
+
+out = bucket_record(rec, il)
+print("BUCKET", out.step_valid.shape[1], out.gmap_mask.shape[2],
+      flush=True)
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -49,7 +101,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_gather():
+def _run_two_process(worker_src: str) -> list:
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -59,7 +111,7 @@ def test_two_process_gather():
     env["PYTHONPATH"] = os.pathsep.join(
         p for p in [env.get("PYTHONPATH"), REPO] if p)
     procs = [subprocess.Popen(
-        [sys.executable, "-c", _WORKER, str(i), str(port)],
+        [sys.executable, "-c", worker_src, str(i), str(port)],
         env=env, cwd=REPO, stdout=subprocess.PIPE,
         stderr=subprocess.PIPE, text=True) for i in range(2)]
     outs = []
@@ -73,4 +125,21 @@ def test_two_process_gather():
         outs.append((p.returncode, out, err))
     for rc, out, err in outs:
         assert rc == 0, f"worker failed (rc={rc}):\n{err[-2000:]}"
+    return outs
+
+
+def test_two_process_gather():
+    for rc, out, err in _run_two_process(_WORKER):
         assert "GATHER_OK 5" in out, out
+
+
+def test_two_process_bucket_sync_full_size():
+    """bucket_record/mesh.sync_max agreement at r2r PRODUCTION dims
+    (T=20, G=96 caps, r2r bucket sets; no model execution): both ranks
+    must dispatch the identical (T, G) learn program even when their
+    local demand differs — the SPMD program-choice path the 2-process
+    dryrun only covered at tiny shapes (VERDICT r4 weak #6; reference
+    analogue: the task-sync dist.broadcast, loader.py:56-59)."""
+    for rc, out, err in _run_two_process(_BUCKET_WORKER):
+        # max demand (T=14, G=50) -> buckets (12,20)->20, (48,64,96)->64
+        assert "BUCKET 20 64" in out, out

@@ -77,6 +77,11 @@ class PlannerConfig:
     # on forward-only programs (rollout/serving/eval). The learn path
     # turns this on via IL.remat_nav.
     remat_scan: bool = False
+    # jax.checkpoint policy name for remat_scan (an attribute of
+    # jax.checkpoint_policies, e.g. "dots_with_no_batch_dims_saveable"
+    # to save matmul outputs and recompute only elementwise chains).
+    # None = save nothing (full per-layer recompute).
+    remat_policy: Optional[str] = None
 
     # compute dtype for the transformer stacks
     use_bf16: bool = True
@@ -235,6 +240,14 @@ class ILConfig:
     # accelerator sits behind a network link (e.g. the axon tunnel at
     # ~17 MB/s, where observation upload IS the rollout wall-time).
     depth_transport_uint16: bool = False
+    # Learn-phase aggregation backward variant: rebuild the dense
+    # (B,T,G,T*P) aggregation matrix ON DEVICE from the sparse provenance
+    # record before the replay, so d(pano tokens) is one MXU matmul
+    # (einsum transpose) instead of the gather path's scatter-add. W is a
+    # function of record data only — no gradient flows through its
+    # construction. Costs a (B,T,G,T*P) fp32 buffer (~43 MB at r2r G=64).
+    # Measured on v5e-1 (tools/exp_learn_bwd.py) before flipping.
+    agg_dense_device: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

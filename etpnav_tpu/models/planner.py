@@ -240,12 +240,18 @@ def _x_stack(params: dict, cfg: PlannerConfig, visn: jax.Array,
              rng: Optional[jax.Array] = None, train: bool = False
              ) -> jax.Array:
     num_layers = cfg.num_x_layers
+    remat_kw = {}
+    if cfg.remat_scan and cfg.remat_policy:
+        # named saveable policy (e.g. dots_with_no_batch_dims_saveable):
+        # backward keeps the policy's tensors and recomputes the rest
+        remat_kw["policy"] = getattr(jax.checkpoint_policies,
+                                     cfg.remat_policy)
     if rng is None:
         def body(h, layer_params):
             return _x_layer(layer_params, cfg, h, txt, txt_bias, visn_bias,
                             train=train), None
         if cfg.remat_scan:
-            body = jax.checkpoint(body)
+            body = jax.checkpoint(body, **remat_kw)
         visn, _ = jax.lax.scan(body, visn, params,
                                unroll=bert_core.SCAN_UNROLL)
     else:
@@ -260,7 +266,7 @@ def _x_stack(params: dict, cfg: PlannerConfig, visn: jax.Array,
             # boundary and recomputes each layer's attention internals —
             # the (B, heads, G, L)/(B, heads, G, G) probs never persist
             # across the whole stack. No-op for forward-only programs.
-            body = jax.checkpoint(body)
+            body = jax.checkpoint(body, **remat_kw)
         visn, _ = jax.lax.scan(body, visn, (params, rngs),
                                unroll=bert_core.SCAN_UNROLL)
     return visn

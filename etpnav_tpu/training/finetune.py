@@ -40,6 +40,40 @@ from etpnav_tpu.training.agent import AgentParams, JittedAgent, \
 from etpnav_tpu.training.rollout import RolloutEngine, RolloutRecord
 
 
+def dense_w_from_sparse(batch: dict, P: int) -> jax.Array:
+    """Rebuild the dense (B, T, G, S=T*P) aggregation matrix on device
+    from the sparse provenance record (IL.agg_dense_device).
+
+    Same math as the sparse path in replay_logits: node slots average
+    their visit-step's valid tokens, ghost slots sum weighted provenance
+    entries. W depends on record DATA only, so no gradient flows through
+    the scatter below — the win is that the replay's d(pano tokens)
+    becomes the einsum transpose (one MXU matmul) instead of the gather
+    path's scatter-add."""
+    node_step = batch["agg_node_step"]                      # (B, T, G)
+    B, T, G = node_step.shape
+    S = T * P
+    vmask = batch["vp_mask"] & batch["step_valid"][..., None]   # (B,T,P)
+    cnt = jnp.maximum(vmask.sum(-1), 1).astype(jnp.float32)
+    shares = vmask.astype(jnp.float32) / cnt[..., None]     # (B, T, P)
+    # M_s[b, u, t*P+p] = (u == t) * shares[b, t, p]: step u's token
+    # shares spread at its flat positions (block-diagonal over steps)
+    eye_t = jnp.eye(T, dtype=jnp.float32)
+    m_s = (eye_t[None, :, :, None] * shares[:, None]).reshape(B, T, S)
+    node_oh = (node_step[..., None]
+               == jnp.arange(T, dtype=jnp.int32)).astype(jnp.float32)
+    w_node = jnp.einsum("btgu,bus->btgs", node_oh, m_s)
+    # ghost entries: scatter the scalar share weights at (slot, tok)
+    # (padding entries carry val=0 — they add zero at slot 0 / tok 0)
+    flat_idx = (batch["agg_ent_slot"].astype(jnp.int32) * S
+                + batch["agg_ent_tok"].astype(jnp.int32))   # (B, T, M)
+    w_ghost = jnp.zeros((B, T, G * S), jnp.float32)
+    w_ghost = w_ghost.at[
+        jnp.arange(B)[:, None, None], jnp.arange(T)[None, :, None],
+        flat_idx].add(batch["agg_ent_val"].astype(jnp.float32))
+    return w_node + w_ghost.reshape(B, T, G, S)
+
+
 def replay_logits(planner_params: dict, cfg: ExperimentConfig,
                   batch: dict, rng: Optional[jax.Array] = None,
                   train: bool = True) -> jax.Array:
@@ -96,6 +130,14 @@ def replay_logits(planner_params: dict, cfg: ExperimentConfig,
         gmap_img = jnp.einsum(
             "btgs,bsd->btgd", batch["agg_w"].astype(pano_flat.dtype),
             pano_flat, preferred_element_type=jnp.float32
+        ).astype(pano_flat.dtype)
+    elif cfg.il.agg_dense_device:
+        # dense W rebuilt on device from the sparse record: the
+        # aggregation fwd AND bwd are single fp32 matmuls (see
+        # dense_w_from_sparse; A/B'd in tools/exp_learn_bwd.py)
+        w = dense_w_from_sparse(batch, P)
+        gmap_img = jnp.einsum(
+            "btgs,bsd->btgd", w, pano_flat.astype(jnp.float32)
         ).astype(pano_flat.dtype)
     else:
         # sparse provenance record (RolloutRecord.agg_* — see rollout.py):

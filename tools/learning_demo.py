@@ -54,6 +54,11 @@ def main():
                     help="mid-run checkpoint interval (0 = exit-save only)")
     ap.add_argument("--depth-u16", action="store_true",
                     help="uint16 depth transport (halves depth upload)")
+    ap.add_argument("--pretrained-ckpt", default="",
+                    help="warm-start the planner from a PretrainTrainer "
+                         "orbax checkpoint (training/warm_start.py — the "
+                         "MODEL.pretrained_path two-stage recipe; see "
+                         "tools/pretrain_synth.py for producing one)")
     args = ap.parse_args()
 
     import dataclasses
@@ -78,6 +83,10 @@ def main():
 
     trainer = FinetuneTrainer(cfg, make_envs(args.seed), seed=args.seed,
                               ckpt_dir=args.ckpt_dir or "checkpoints")
+    if args.pretrained_ckpt:
+        trainer.load_pretrained(args.pretrained_ckpt)
+        print(json.dumps({"warm_started_from": args.pretrained_ckpt}),
+              flush=True)
     if args.ckpt_dir and trainer.resume_latest():
         print(json.dumps({"resumed_at": trainer.iteration}), flush=True)
     heldout = make_envs(args.seed + 1000)   # unseen scenes/episodes

@@ -15,12 +15,15 @@
 # the next chunk resumes from its checkpoint with a fresh process.
 #
 # Usage: bash scripts/conv_babysit.sh [TARGET_ITERS=500] [RSS_GB=85]
+#        [EVAL_EVERY=50]
+# EVAL_EVERY=50 in degraded tunnel windows: each chunk ends with an
+# n=48 eval, so partial progress still yields recorded curve points.
 
 set -u
 cd "$(dirname "$0")/.."
 TARGET=${1:-500}
 RSS_LIMIT_KB=$(( ${2:-85} * 1024 * 1024 ))
-EVAL_EVERY=100
+EVAL_EVERY=${3:-50}
 LOG=runs/conv_r5.log
 
 last_iter() {
@@ -44,19 +47,27 @@ while true; do
         --ckpt-dir runs/conv --save-every 25 --depth-u16 \
         >> "$LOG" 2>&1 &
     pid=$!
-    # RSS watchdog: SIGTERM (-> demo saves) before the OOM killer fires
+    # RSS watchdog: SIGTERM (-> demo saves) before the OOM killer fires.
+    # NB: $pid is the `timeout` wrapper (VmRSS ~1 MB) — the leak lives in
+    # its python CHILD, so resolve and watch that (first launch of this
+    # script watched the wrapper and never fired; the OOM killer won).
     while kill -0 "$pid" 2>/dev/null; do
-        rss=$(awk '/VmRSS/{print $2}' "/proc/$pid/status" 2>/dev/null \
+        py=$(ps -o pid= --ppid "$(ps -o pid= --ppid "$pid" | head -1 \
+             | tr -d ' ')" 2>/dev/null | head -1 | tr -d ' ')
+        [ -z "$py" ] && py=$(ps -o pid= --ppid "$pid" | head -1 \
+                             | tr -d ' ')
+        rss=$(awk '/VmRSS/{print $2}' "/proc/${py:-0}/status" 2>/dev/null \
               || echo 0)
         if [ "${rss:-0}" -gt "$RSS_LIMIT_KB" ]; then
             echo "{\"babysit\": \"rss_limit\", \"rss_kb\": $rss}" >> "$LOG"
-            kill -TERM "$pid"
-            # give the save up to 10 min, then escalate
+            kill -TERM "${py:-$pid}"
+            # give the save up to 10 min, then escalate (python AND the
+            # timeout wrapper, so neither is orphaned)
             for _ in $(seq 1 60); do
-                kill -0 "$pid" 2>/dev/null || break
+                kill -0 "${py:-$pid}" 2>/dev/null || break
                 sleep 10
             done
-            kill -KILL "$pid" 2>/dev/null
+            kill -KILL "${py:-$pid}" "$pid" 2>/dev/null
             break
         fi
         sleep 30

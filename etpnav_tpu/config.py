@@ -240,6 +240,14 @@ class ILConfig:
     # accelerator sits behind a network link (e.g. the axon tunnel at
     # ~17 MB/s, where observation upload IS the rollout wall-time).
     depth_transport_uint16: bool = False
+    # bf16 softmax-probs chain inside attention for bf16 stacks
+    # (ops/attention.py PROBS_BF16): halves the (B,H,Lq,Lk) softmax+
+    # dropout memory traffic that dominates the learn step's backward.
+    # Probs are in [0,1] (~3 significant digits in bf16) — the regime
+    # torch fp16 autocast trains the reference in. fp32 stacks (parity
+    # tests, fp32 serving nav) are unaffected. Measured before default
+    # flip via tools/exp_learn_bwd.py probs_bf16 variant.
+    attn_probs_bf16: bool = False
     # Learn-phase aggregation backward variant: rebuild the dense
     # (B,T,G,T*P) aggregation matrix ON DEVICE from the sparse provenance
     # record before the replay, so d(pano tokens) is one MXU matmul
@@ -419,7 +427,11 @@ def r2r_config(**overrides) -> ExperimentConfig:
     planner = PlannerConfig(max_gmap_len=96,
                             gmap_len_buckets=(16, 32, 48, 64))
     il = ILConfig(train_traj_buckets=(12, 20),
-                  train_gmap_buckets=(48, 64, 96))
+                  train_gmap_buckets=(48, 64, 96),
+                  # measured on v5e-1 (tools/exp_learn_bwd.py):
+                  # 133.4 -> 126.4 ms at (T20, G64), 170.8 -> 158.2 at
+                  # (T20, G96 remat)
+                  attn_probs_bf16=True)
     cfg = ExperimentConfig(task_type="r2r", planner=planner, il=il)
     return dataclasses.replace(cfg, **overrides)
 
@@ -439,6 +451,7 @@ def rxr_config(**overrides) -> ExperimentConfig:
     il = ILConfig(
         iters=20000, lr=1.5e-5, expert_policy="ndtw", max_text_len=200,
         train_traj_buckets=(12, 20), train_gmap_buckets=(48, 64, 96),
+        attn_probs_bf16=True,        # see r2r_config
     )
     cfg = ExperimentConfig(task_type="rxr", planner=planner, il=il)
     return dataclasses.replace(cfg, **overrides)

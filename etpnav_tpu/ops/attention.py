@@ -52,6 +52,10 @@ def mha_init(key: jax.Array, dim: int, ctx_dim: Optional[int] = None) -> dict:
 #   nav-graph scoring keeps XLA).
 USE_FUSED_ATTENTION: Optional[bool] = None
 USE_FUSED_ATTENTION_NOBIAS: Optional[bool] = None   # None = auto (TPU on)
+# bf16 softmax-probs chain for bf16 inputs (set from IL.attn_probs_bf16
+# by the trainers, like ops.basic.DROPOUT_BITS8); fp32 inputs (parity
+# tests, serving fp32 nav stack) are never affected.
+PROBS_BF16: bool = False
 # Cross-batch 'one big GEMM' kernel for the nobias path (tiny-L shapes);
 # experimental switch for tools/exp_attn_xbatch.py until measured.
 USE_XBATCH_ATTENTION: bool = False
@@ -146,7 +150,19 @@ def mha(params: dict, q_in: jax.Array, kv_in: jax.Array, num_heads: int,
     logits = logits * (1.0 / jnp.sqrt(jnp.float32(hd)))
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1)
+    if PROBS_BF16 and q_in.dtype == jnp.bfloat16:
+        # bf16 probs chain (IL.attn_probs_bf16): max-shift in fp32 for
+        # range safety, then exp/normalize/dropout/backward in bf16 —
+        # halves the (B,H,Lq,Lk) softmax+dropout traffic that dominates
+        # the learn step's backward (tools/exp_learn_bwd.py: grad
+        # program touches 36 GB at G=64, nav stack 80% of step time).
+        # Probs live in [0,1] where bf16 keeps ~3 significant digits —
+        # the same regime torch fp16 autocast trains the reference in.
+        shifted = logits - jax.lax.stop_gradient(
+            jnp.maximum(logits.max(axis=-1, keepdims=True), -1e30))
+        probs = jax.nn.softmax(shifted.astype(jnp.bfloat16), axis=-1)
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
     probs = maybe_dropout(probs, attn_dropout, rng, train)
 
     ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q_in.dtype), v,

@@ -371,6 +371,8 @@ class FinetuneTrainer:
         # default-config trainer in the same process.
         from etpnav_tpu.ops import basic as _basic
         _basic.DROPOUT_BITS8 = cfg.il.dropout_bits8
+        from etpnav_tpu.ops import attention as _attn
+        _attn.PROBS_BF16 = cfg.il.attn_probs_bf16
         self.iteration = 0
         self.logs = defaultdict(list)
         self.timer = StepTimer()

@@ -335,6 +335,50 @@ def main():
                        (params, opt_state, batch, rngs), chain, repeats)
         log(variant="remat_full", ms=round(ms, 2), compile_s=round(cs, 1))
 
+    if "probs_bf16" in variants:
+        from etpnav_tpu.ops import attention as attn_mod
+        attn_mod.PROBS_BF16 = True
+        try:
+            ms, cs = _time(chained_grad(cfg, adamw),
+                           (params, opt_state, batch, rngs),
+                           chain, repeats)
+            log(variant="probs_bf16_full", ms=round(ms, 2),
+                compile_s=round(cs, 1))
+        finally:
+            attn_mod.PROBS_BF16 = False
+
+    if "no_remat" in variants:
+        # relevant at G >= remat_nav_min_gmap (the G=96 bucket runs
+        # remat by default for HBM fit — measure whether it still must)
+        cfg_nr = dataclasses.replace(
+            cfg, il=dataclasses.replace(cfg.il, remat_nav=False))
+        try:
+            ms, cs = _time(chained_grad(cfg_nr, adamw),
+                           (params, opt_state, batch, rngs),
+                           chain, repeats)
+            log(variant="no_remat_full", ms=round(ms, 2),
+                compile_s=round(cs, 1))
+        except Exception as e:  # noqa: BLE001 — expected OOM at G=96
+            log(variant="no_remat_full", error=str(e)[:160])
+
+    if "best" in variants:
+        # candidate production setting: bf16 probs chain + no forced
+        # remat (the two measured wins combined)
+        from etpnav_tpu.ops import attention as attn_mod
+        cfg_b = dataclasses.replace(
+            cfg, il=dataclasses.replace(cfg.il, remat_nav=False))
+        attn_mod.PROBS_BF16 = True
+        try:
+            ms, cs = _time(chained_grad(cfg_b, adamw),
+                           (params, opt_state, batch, rngs),
+                           chain, repeats)
+            log(variant="best_full", ms=round(ms, 2),
+                compile_s=round(cs, 1))
+        except Exception as e:  # noqa: BLE001
+            log(variant="best_full", error=str(e)[:160])
+        finally:
+            attn_mod.PROBS_BF16 = False
+
     if "remat_dots" in variants:
         cfg_rd = dataclasses.replace(
             cfg,

@@ -437,8 +437,9 @@ def measure_learn_step(cfg, *, batch: int = 16, chain: int = 4,
     import optax
 
     from etpnav_tpu.models import planner as planner_lib
-    from etpnav_tpu.training.finetune import compute_il_loss, \
-        make_il_optimizer
+    from etpnav_tpu.training.finetune import (apply_il_runtime_flags,
+                                              compute_il_loss,
+                                              make_il_optimizer)
 
     if gmap_len is not None:
         cfg = _dc.replace(cfg, planner=_dc.replace(
@@ -454,6 +455,10 @@ def measure_learn_step(cfg, *, batch: int = 16, chain: int = 4,
     etb = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(etb)
 
+    # production compute-path switches (bf16 probs chain etc.) — this
+    # harness jits compute_il_loss directly, so set them from cfg like
+    # FinetuneTrainer does
+    apply_il_runtime_flags(cfg)
     host = etb.synth_batch(cfg, batch, rng=0)
     params = planner_lib.init_planner_params(
         jax.random.PRNGKey(0), cfg.planner)

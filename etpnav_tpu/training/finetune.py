@@ -74,6 +74,18 @@ def dense_w_from_sparse(batch: dict, P: int) -> jax.Array:
     return w_node + w_ghost.reshape(B, T, G, S)
 
 
+def apply_il_runtime_flags(cfg: ExperimentConfig):
+    """Set the module-global compute-path switches the IL config
+    carries (dropout mask repr, bf16 attention-probs chain). Called by
+    FinetuneTrainer.__init__ and by every harness that jits
+    compute_il_loss directly (bench.py, tools/exp_*), so measurements
+    always run the production configuration."""
+    from etpnav_tpu.ops import attention as _attn
+    from etpnav_tpu.ops import basic as _basic
+    _basic.DROPOUT_BITS8 = cfg.il.dropout_bits8
+    _attn.PROBS_BF16 = cfg.il.attn_probs_bf16
+
+
 def replay_logits(planner_params: dict, cfg: ExperimentConfig,
                   batch: dict, rng: Optional[jax.Array] = None,
                   train: bool = True) -> jax.Array:
@@ -369,10 +381,7 @@ class FinetuneTrainer:
         # experimental; recorded in the config. Assigned unconditionally
         # so a bits8 trainer does not leak the global into a later
         # default-config trainer in the same process.
-        from etpnav_tpu.ops import basic as _basic
-        _basic.DROPOUT_BITS8 = cfg.il.dropout_bits8
-        from etpnav_tpu.ops import attention as _attn
-        _attn.PROBS_BF16 = cfg.il.attn_probs_bf16
+        apply_il_runtime_flags(cfg)
         self.iteration = 0
         self.logs = defaultdict(list)
         self.timer = StepTimer()

@@ -103,6 +103,9 @@ def main():
     log(shapes={"B": B, "T": T, "G": G, "L": L, "P": P},
         backend=jax.default_backend())
 
+    from etpnav_tpu.training.finetune import apply_il_runtime_flags
+    apply_il_runtime_flags(cfg)   # 'full' measures the production path
+
     host = synth_batch(cfg, B, rng=0)
     params = planner_lib.init_planner_params(jax.random.PRNGKey(0), p)
     n_params = sum(int(np.prod(v.shape))

@@ -105,9 +105,12 @@ def time_learn_step(cfg, B, chain, repeats, dense=False, dropout=True):
     import optax
 
     from etpnav_tpu.models import planner as planner_lib
-    from etpnav_tpu.training.finetune import compute_il_loss, \
-        make_il_optimizer, replay_logits
+    from etpnav_tpu.training.finetune import (apply_il_runtime_flags,
+                                              compute_il_loss,
+                                              make_il_optimizer,
+                                              replay_logits)
 
+    apply_il_runtime_flags(cfg)
     host = synth_batch(cfg, B, rng=0)
     if dense:
         P = cfg.waypoint.max_predictions + 12

@@ -664,6 +664,14 @@ def main():
                 "slice each interval to its demand bucket "
                 "(finetune.bucket_record); G cap raised 64->96 after "
                 "capacity measurement (NOTES_ROUND4.md)",
+            "bwd_analysis": "nav-stack backward is ~80% of the step; "
+                "grad program touches 36 GB at ~280 GB/s effective "
+                "(bandwidth-bound softmax/dropout chain). Adopted "
+                "IL.attn_probs_bf16 (bf16 probs chain, torch-AMP "
+                "regime): 133.4->126.4 ms at G=64, 170.8->158.2 at "
+                "G=96. Remat hurts at G=64 (both policies), required "
+                "at G=96 (no-remat fails to compile). "
+                "tools/exp_learn_bwd.py, NOTES_ROUND5.md",
             "baseline_model": {
                 "flops_per_trained_step": flops_per_trained_step(cfg64),
                 "a100_peak_flops": A100_PEAK_FLOPS,

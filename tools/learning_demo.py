@@ -89,6 +89,15 @@ def main():
               flush=True)
     if args.ckpt_dir and trainer.resume_latest():
         print(json.dumps({"resumed_at": trainer.iteration}), flush=True)
+        # fresh episode stream per session: the env pool's rng is not
+        # part of the checkpoint, so resuming with the same seed would
+        # re-train on the same early episodes of the seed-0 stream every
+        # session — with short OOM-guarded sessions that repetition
+        # visibly overfits (iter-350 eval: IL_loss down, SR down, agent
+        # wanders; see NOTES_ROUND5). Offset the seed by the resume
+        # iteration so each session sees new scenes.
+        trainer.envs = make_envs(args.seed + trainer.iteration)
+        trainer.engine.envs = trainer.envs
     heldout = make_envs(args.seed + 1000)   # unseen scenes/episodes
 
     def evaluate():

@@ -25,7 +25,9 @@ def parse_curve(path: str) -> list:
                 d = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if "iter" in d:
+            # eval points only: operational lines may also carry an
+            # "iter" field (e.g. the babysitter's no_progress marker)
+            if "iter" in d and "success" in d:
                 curve.append(d)
     # Appended session logs may repeat an iter (resume from a checkpoint
     # older than the last recorded eval) or arrive out of order; keep the
